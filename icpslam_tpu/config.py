@@ -1,0 +1,117 @@
+"""Typed configuration for the SLAM pipeline.
+
+One frozen dataclass replaces the reference's three-tier ROS parameter
+system (YAML ``/root/reference/config/icpslam.yaml:1-31`` + launch args +
+in-code defaults) and *promotes every hidden hard constant to config*
+(SURVEY.md §5.6): the keyframe gate (``icpslam.h:36``), ICP knobs
+(``icp_odometer.h:62-65``, ``octree_mapper.h:53-56``), and the robot-odom
+pose gate (``robot_odometer.h:40``).
+
+Defaults follow the YAML values where YAML and code defaults disagree
+(voxel leaf 0.2 not 0.05; map resolution 0.2 not 0.5), since YAML is what
+the reference actually runs with via its launch file.
+
+The config is hashable and contains only static python values, so it can be
+passed as a ``static_argnum`` to jitted step functions; capacities
+(``max_points`` etc.) fix the padded array shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """Registration knobs shared by scan-to-scan and scan-to-map ICP.
+
+    Mirrors PCL GICP configuration at ``icp_odometer.cpp:188-199`` /
+    ``octree_mapper.cpp:104-115``.
+    """
+
+    max_iterations: int = 10          # icp_odometer.h:65 (odometry)
+    max_correspondence_distance: float = 1.0  # icp_odometer.h:63
+    transformation_epsilon: float = 1e-6      # icp_odometer.h:64
+    fitness_threshold: float = 20.0   # hardcoded accept gate, icp_odometer.cpp:201
+    # GICP covariance regularization (PCL uses epsilon-inflated plane covs)
+    covariance_knn: int = 10
+    covariance_epsilon: float = 1e-3
+    # 'point' (Kabsch point-to-point) or 'plane' (GICP-style plane-to-plane GN)
+    mode: str = "plane"
+    # Huber robust-loss scale in meters (0 disables robust weighting)
+    huber_delta: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    # --- frames (icpslam.yaml:6-10); informational, used by IO adapters ---
+    map_frame: str = "map"
+    odom_frame: str = "odom"
+    robot_frame: str = "base_link"
+    laser_frame: str = "laser"
+
+    # --- front-end odometry ---
+    num_clouds_skip: int = 0          # icpslam.yaml:13
+    voxel_leaf_size: float = 0.2      # icpslam.yaml:14
+    icp_odometry: IcpConfig = dataclasses.field(default_factory=IcpConfig)
+
+    # --- mapping ---
+    map_resolution: float = 0.2       # octree_resolution, icpslam.yaml:17
+    icp_mapping: IcpConfig = dataclasses.field(
+        default_factory=lambda: IcpConfig(max_iterations=30)  # octree_mapper.h:56
+    )
+    # map-NN search radius in voxels (1 → 3^3 neighborhood)
+    map_nn_radius: int = 1
+
+    # --- keyframes & graph (icpslam.h:36-37, icpslam.yaml:20-23) ---
+    keyframe_distance: float = 0.3    # KFS_DIST_THRESH, icpslam.h:36
+    keyframes_window: int = 4         # optimize cadence, icpslam.yaml:23
+    # 6-diagonals of the information matrices (icpslam.yaml:20-22)
+    icp_information: Tuple[float, ...] = (100.0, 100.0, 100.0, 100.0, 100.0, 100.0)
+    odometry_information: Tuple[float, ...] = (10.0, 10.0, 10.0, 10.0, 10.0, 10.0)
+    loop_information: Tuple[float, ...] = (100.0, 100.0, 100.0, 100.0, 100.0, 100.0)
+    # loop closures: the reference *intends* these (README.md:14-20, marker
+    # heuristic |id1-id2| > 2 at icpslam.cpp:263) but never adds edges; we
+    # implement them properly (SURVEY.md §7.4).
+    enable_loop_closure: bool = True
+    loop_closure_radius: float = 3.0
+    loop_closure_min_id_gap: int = 3
+    # graph solver: 'gn' or 'lm' — honors the reference's pluggable-backend
+    # intent (launch/icpslam.launch:14-15 'g2o|gtsam' arg)
+    graph_solver: str = "lm"
+    graph_solver_iterations: int = 10
+
+    # --- wheel / external odometry fusion (robot_odometer.cpp) ---
+    wheel_odom_pose_gate: float = 0.1  # POSE_DIST_THRESH, robot_odometer.h:40
+    enable_wheel_odom_edges: bool = False  # dead code in reference; optional here
+
+    # --- static capacities (TPU padded shapes) ---
+    max_points: int = 8192            # downsampled points per scan
+    max_raw_points: int = 131072      # raw scan capacity before voxel filter
+    max_map_points: int = 262144      # voxel-map capacity
+    max_keyframes: int = 512
+    max_edges: int = 2048
+
+    # --- behavior toggles ---
+    publish_map_transform: bool = True  # icpslam.yaml:24
+    reset_map_on_optimize: bool = True  # icpslam.cpp:170 contract
+    verbosity: int = 1                  # leveled logging, §5.5
+
+    # --- numerics ---
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(**overrides) -> SlamConfig:
+    """Small-capacity config for tests and compile-check dry runs."""
+    cfg = SlamConfig(
+        max_points=256,
+        max_raw_points=1024,
+        max_map_points=4096,
+        max_keyframes=32,
+        max_edges=128,
+    )
+    return cfg.replace(**overrides) if overrides else cfg

@@ -1,0 +1,203 @@
+"""Batched SE(3) poses as a functional pytree.
+
+``Pose`` replaces the reference's mutable ``Pose6DOF`` class
+(``/root/reference/include/utils/pose6DOF.h:15-126``,
+``/root/reference/src/utils/pose6DOF.cpp:98-131``) with an immutable
+NamedTuple of ``t`` (..., 3) translation and ``q`` (..., 4) wxyz unit
+quaternion. Covariance is carried separately where needed (graph edges)
+rather than inside every pose.
+
+Semantics intentionally *fixed* relative to the reference's quirks
+(SURVEY.md §7.4): ``compose`` is the standard group product
+``T1·T2 = (R1 t2 + t1, q1⊗q2)`` (same as ``Pose6DOF::compose``,
+``pose6DOF.cpp:98-105``), and ``relative(a, b) = a⁻¹ ∘ b`` — the
+mathematically consistent version of the reference's inconsistent
+``subtract`` (``pose6DOF.cpp:107-115`` mixes frames for rotation vs
+translation; we do not replicate that).
+
+Also provides so(3)/se(3) exp/log maps with small-angle Taylor guards —
+needed by the Gauss-Newton pose-graph solver and ICP update steps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from icpslam_tpu.geometry import quaternion as quat
+
+_EPS = 1e-8
+
+
+class Pose(NamedTuple):
+    """SE(3) pose: world-from-body. Broadcasts over leading axes."""
+
+    t: jnp.ndarray  # (..., 3) translation
+    q: jnp.ndarray  # (..., 4) unit quaternion, wxyz
+
+    @property
+    def batch_shape(self):
+        return self.t.shape[:-1]
+
+    def as_matrix(self) -> jnp.ndarray:
+        """Homogeneous 4x4 matrix (..., 4, 4)."""
+        R = quat.to_matrix(self.q)
+        top = jnp.concatenate([R, self.t[..., :, None]], axis=-1)
+        bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+        return jnp.concatenate([top, bottom], axis=-2)
+
+
+def identity(shape=(), dtype=jnp.float32) -> Pose:
+    return Pose(
+        t=jnp.zeros(tuple(shape) + (3,), dtype=dtype),
+        q=quat.identity(shape, dtype=dtype),
+    )
+
+
+def from_matrix(m: jnp.ndarray) -> Pose:
+    return Pose(t=m[..., :3, 3], q=quat.from_matrix(m[..., :3, :3]))
+
+
+def compose(a: Pose, b: Pose) -> Pose:
+    """Group product a ∘ b: apply b in a's frame."""
+    return Pose(t=a.t + quat.rotate(a.q, b.t), q=quat.multiply(a.q, b.q))
+
+
+def inverse(a: Pose) -> Pose:
+    qi = quat.conjugate(a.q)
+    return Pose(t=-quat.rotate(qi, a.t), q=qi)
+
+
+def relative(a: Pose, b: Pose) -> Pose:
+    """a⁻¹ ∘ b: pose of b expressed in a's frame."""
+    return compose(inverse(a), b)
+
+
+def transform_points(p: Pose, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply pose to points ``(..., N, 3)`` (pose broadcasts over N)."""
+    return quat.rotate(p.q[..., None, :], pts) + p.t[..., None, :]
+
+
+def distance_translation(a: Pose, b: Pose) -> jnp.ndarray:
+    """Euclidean distance between positions — the reference's keyframe /
+    pose gate metric (``pose6DOF.cpp:94-96``)."""
+    return jnp.linalg.norm(a.t - b.t, axis=-1)
+
+
+def distance_rotation(a: Pose, b: Pose) -> jnp.ndarray:
+    """Absolute relative rotation angle in radians."""
+    return quat.angle(quat.multiply(quat.conjugate(a.q), b.q))
+
+
+def normalize(a: Pose) -> Pose:
+    """Re-normalize the quaternion (drift control after long compositions)."""
+    return Pose(t=a.t, q=quat.normalize(a.q))
+
+
+# ----------------------------------------------------------------------------
+# so(3) / se(3) exp and log maps (batched, Taylor-guarded)
+# ----------------------------------------------------------------------------
+
+
+def _sinc(x):
+    """sin(x)/x with Taylor guard."""
+    small = jnp.abs(x) < 1e-4
+    xs = jnp.where(small, 1.0, x)  # avoid 0/0 in the false branch
+    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
+
+
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-vector (..., 3) → unit quaternion (..., 4)."""
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    half = 0.5 * theta
+    qw = jnp.cos(half)
+    qxyz = 0.5 * _sinc(half) * w
+    return jnp.concatenate([qw, qxyz], axis=-1)
+
+
+def so3_log(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion → rotation vector (..., 3), angle in [0, pi]."""
+    q = jnp.where(q[..., :1] < 0, -q, q)  # shortest arc
+    w = jnp.clip(q[..., :1], -1.0, 1.0)
+    xyz = q[..., 1:]
+    n = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    theta = 2.0 * jnp.arctan2(n, w)
+    small = n < 1e-8
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / jnp.where(small, 1.0, n))
+    return scale * xyz
+
+
+def _skew(v: jnp.ndarray) -> jnp.ndarray:
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    m = jnp.stack([zero, -z, y, z, zero, -x, -y, x, zero], axis=-1)
+    return m.reshape(v.shape[:-1] + (3, 3))
+
+
+def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
+    """Left Jacobian J_l of SO(3) at rotation vector w, (..., 3, 3)."""
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    theta = jnp.sqrt(theta2)
+    W = _skew(w)
+    W2 = W @ W
+    small = theta < 1e-4
+    t = jnp.where(small, 1.0, theta)
+    A = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(t)) / (t * t))
+    B = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (t - jnp.sin(t)) / (t * t * t))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + A * W + B * W2
+
+
+def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    theta = jnp.sqrt(theta2)
+    W = _skew(w)
+    W2 = W @ W
+    small = theta < 1e-4
+    t = jnp.where(small, 1.0, theta)
+    half_t = 0.5 * t
+    cot_term = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - half_t * jnp.cos(half_t) / jnp.sin(half_t)) / (t * t),
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye - 0.5 * W + cot_term * W2
+
+
+def se3_exp(xi: jnp.ndarray) -> Pose:
+    """Twist (..., 6) = [rho(3), w(3)] → Pose. t = J_l(w) @ rho."""
+    rho, w = xi[..., :3], xi[..., 3:]
+    q = so3_exp(w)
+    t = (_so3_left_jacobian(w) @ rho[..., :, None])[..., 0]
+    return Pose(t=t, q=q)
+
+
+def se3_log(p: Pose) -> jnp.ndarray:
+    """Pose → twist (..., 6) = [rho, w] with exp(log(p)) == p."""
+    w = so3_log(p.q)
+    rho = (_so3_left_jacobian_inv(w) @ p.t[..., :, None])[..., 0]
+    return jnp.concatenate([rho, w], axis=-1)
+
+
+def adjoint(p: Pose) -> jnp.ndarray:
+    """Adjoint matrix (..., 6, 6) mapping twists between frames:
+    Ad(T) @ xi satisfies T·exp(xi)·T⁻¹ = exp(Ad(T) xi)."""
+    R = quat.to_matrix(p.q)
+    tR = _skew(p.t) @ R
+    top = jnp.concatenate([R, tR], axis=-1)
+    bottom = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def stack(poses) -> Pose:
+    """Stack a python list of Pose into a batched Pose."""
+    return Pose(
+        t=jnp.stack([p.t for p in poses], axis=0),
+        q=jnp.stack([p.q for p in poses], axis=0),
+    )
+
+
+def index(p: Pose, i) -> Pose:
+    return Pose(t=p.t[i], q=p.q[i])

@@ -1,0 +1,36 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+The development/CI environment tunnels to a single real TPU chip via the
+``axon`` PJRT plugin; tests instead run on CPU with
+``--xla_force_host_platform_device_count=8`` so multi-device sharding
+(mesh/pjit/shard_map) is exercised without a pod. This must happen before
+jax is imported anywhere.
+"""
+
+import os
+import sys
+
+# Disable the axon TPU plugin registration (sitecustomize gates on this var)
+# and force the host platform with 8 virtual devices.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# jax may already have been imported by a pytest plugin, in which case
+# JAX_PLATFORMS was read at import time — override via the config API.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+# jax may already be in sys.modules (a pytest plugin can import it), but the
+# backend must not have been initialized yet for the env vars to take effect.
+assert jax.default_backend() == "cpu", (
+    f"expected CPU backend for tests, got {jax.default_backend()}; "
+    "jax was initialized before tests/conftest.py could set the platform"
+)
+del sys

@@ -128,6 +128,11 @@ def so3_log(q: jnp.ndarray) -> jnp.ndarray:
     return scale * xyz
 
 
+def skew(v: jnp.ndarray) -> jnp.ndarray:
+    """Cross-product matrix (..., 3, 3) of vector(s) (..., 3)."""
+    return _skew(v)
+
+
 def _skew(v: jnp.ndarray) -> jnp.ndarray:
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
     zero = jnp.zeros_like(x)

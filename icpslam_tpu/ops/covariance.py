@@ -1,0 +1,49 @@
+"""Per-point surface covariances for GICP (plane-to-plane) registration.
+
+PCL's GICP estimates a covariance from each point's k nearest neighbors and
+regularizes its eigenvalues to ``(1, 1, ε)`` — treating every local surface
+patch as a disk (GICP, Segal et al.). The TPU formulation computes all
+covariances at once: blocked k-NN (MXU matmuls) → neighbor gather →
+batched 3×3 eigendecomposition → eigenvalue replacement.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from icpslam_tpu.cloud.pointcloud import PointCloud
+from icpslam_tpu.ops import nn as nn_ops
+
+
+def gicp_covariances(
+    cloud: PointCloud,
+    k: int = 10,
+    epsilon: float = 1e-3,
+    block: int = 512,
+) -> jnp.ndarray:
+    """GICP-regularized covariances (N, 3, 3) for every point in the cloud.
+
+    Padding points get identity covariances (they are masked out of the
+    registration cost anyway).
+    """
+    pts = cloud.points
+    idx, d2 = nn_ops.knn(pts, pts, cloud.mask, k=k, block=block)
+    valid = jnp.isfinite(d2)  # (N, k): False when < k valid neighbors
+
+    neigh = pts[idx]  # (N, k, 3)
+    w = valid.astype(pts.dtype)
+    count = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1.0)  # (N, 1)
+    mean = jnp.sum(neigh * w[..., None], axis=-2) / count
+    centered = (neigh - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / count[..., None]
+
+    # Eigen-regularize: replace eigenvalues (ascending) with (ε, 1, 1).
+    eigvals, eigvecs = jnp.linalg.eigh(cov)
+    reg = jnp.asarray([epsilon, 1.0, 1.0], dtype=pts.dtype)
+    cov_reg = jnp.einsum("nij,j,nkj->nik", eigvecs, reg, eigvecs)
+
+    # Degenerate points (too few neighbors) → identity covariance.
+    enough = jnp.sum(valid, axis=-1) >= 3
+    eye = jnp.eye(3, dtype=pts.dtype)
+    cov_reg = jnp.where(enough[:, None, None] & cloud.mask[:, None, None], cov_reg, eye)
+    return cov_reg

@@ -1,0 +1,103 @@
+"""Nearest-neighbor search as blocked matrix multiplies.
+
+PCL's GICP finds correspondences with a k-d tree per query point
+(``/root/reference/src/icpslam/icp_odometer.cpp:188-199`` internals). Trees
+are pointer-chasing and hostile to TPUs; for scan-sized clouds (≤ ~16k
+points) the speed-of-light formulation is a *blocked brute-force* search:
+``d²(q, t) = |q|² − 2·q@tᵀ + |t|²`` where the cross term is an MXU matmul,
+with the argmin fused per block so the full N×M distance matrix never hits
+HBM. Exact (not approximate) NN — better correspondences than the
+reference at higher speed.
+
+Queries are processed in blocks via ``lax.map`` to bound VMEM/HBM usage;
+invalid (padding) targets are masked to +inf before the argmin.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.inf
+
+
+class NNResult(NamedTuple):
+    idx: jnp.ndarray    # (N,) int32 index into target of the nearest point
+    dist2: jnp.ndarray  # (N,) squared distance (inf where no valid target)
+
+
+def _pad_blocks(n: int, block: int) -> int:
+    return (n + block - 1) // block * block
+
+
+def nearest_neighbors(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    block: int = 1024,
+) -> NNResult:
+    """Exact 1-NN of each query point in the (masked) target cloud.
+
+    query: (N, 3); target: (M, 3); target_mask: (M,) bool.
+    Returns idx (N,) and dist2 (N,). Queries are not masked here — callers
+    combine ``dist2`` with their own query mask.
+    """
+    n = query.shape[0]
+    np_ = _pad_blocks(n, block)
+    qpad = jnp.pad(query, ((0, np_ - n), (0, 0)))
+    qblocks = qpad.reshape(np_ // block, block, 3)
+
+    t_norm2 = jnp.sum(target * target, axis=-1)
+    t_norm2 = jnp.where(target_mask, t_norm2, _INF)
+    tT = target.T  # (3, M)
+
+    def one_block(qb):
+        # (B, M) distance via MXU cross-term
+        cross = jnp.dot(qb, tT, preferred_element_type=jnp.float32)
+        d2 = jnp.sum(qb * qb, axis=-1)[:, None] - 2.0 * cross + t_norm2[None, :]
+        idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        best = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
+        return idx, best
+
+    idxs, d2s = jax.lax.map(one_block, qblocks)
+    idx = idxs.reshape(np_)[:n]
+    d2 = d2s.reshape(np_)[:n]
+    # numerical noise can push tiny distances slightly negative
+    d2 = jnp.where(jnp.isfinite(d2), jnp.maximum(d2, 0.0), d2)
+    return NNResult(idx=idx, dist2=d2)
+
+
+def knn(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    k: int,
+    block: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN: returns (idx (N, k) int32, dist2 (N, k)).
+
+    Invalid targets sort last with +inf distance; if fewer than k valid
+    targets exist the trailing neighbors have inf dist2 (callers mask).
+    """
+    n = query.shape[0]
+    np_ = _pad_blocks(n, block)
+    qpad = jnp.pad(query, ((0, np_ - n), (0, 0)))
+    qblocks = qpad.reshape(np_ // block, block, 3)
+
+    t_norm2 = jnp.sum(target * target, axis=-1)
+    t_norm2 = jnp.where(target_mask, t_norm2, _INF)
+    tT = target.T
+
+    def one_block(qb):
+        cross = jnp.dot(qb, tT, preferred_element_type=jnp.float32)
+        d2 = jnp.sum(qb * qb, axis=-1)[:, None] - 2.0 * cross + t_norm2[None, :]
+        neg_top, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), -neg_top
+
+    idxs, d2s = jax.lax.map(one_block, qblocks)
+    idx = idxs.reshape(np_, k)[:n]
+    d2 = d2s.reshape(np_, k)[:n]
+    d2 = jnp.where(jnp.isfinite(d2), jnp.maximum(d2, 0.0), d2)
+    return idx, d2

@@ -1,0 +1,197 @@
+"""Tests for NN search, Kabsch, GICP covariances, and the ICP driver:
+brute-force numpy references and known-transform recovery (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icpslam_tpu import cloud as pc
+from icpslam_tpu.config import IcpConfig
+from icpslam_tpu.geometry import quaternion as quat
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.ops import covariance, icp as icp_mod, nn as nn_ops
+from icpslam_tpu.ops.kabsch import weighted_rigid_align
+
+
+def random_pose(seed, t_scale=1.0, angle=0.3):
+    rng = np.random.RandomState(seed)
+    axis = rng.randn(3)
+    axis /= np.linalg.norm(axis)
+    return Pose(
+        t=jnp.asarray(rng.randn(3) * t_scale, jnp.float32),
+        q=quat.from_axis_angle(jnp.asarray(axis, jnp.float32), jnp.asarray(angle, jnp.float32)),
+    )
+
+
+class TestNN:
+    def test_matches_bruteforce(self):
+        rng = np.random.RandomState(0)
+        q = rng.randn(100, 3).astype(np.float32)
+        t = rng.randn(80, 3).astype(np.float32)
+        res = nn_ops.nearest_neighbors(jnp.asarray(q), jnp.asarray(t), jnp.ones(80, bool), block=32)
+        d2_full = ((q[:, None] - t[None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(res.idx), d2_full.argmin(1))
+        np.testing.assert_allclose(np.asarray(res.dist2), d2_full.min(1), atol=1e-4)
+
+    def test_masked_targets_excluded(self):
+        q = jnp.zeros((1, 3))
+        t = jnp.array([[0.1, 0, 0], [5.0, 0, 0]])
+        mask = jnp.array([False, True])
+        res = nn_ops.nearest_neighbors(q, t, mask)
+        assert int(res.idx[0]) == 1
+        np.testing.assert_allclose(float(res.dist2[0]), 25.0, atol=1e-5)
+
+    def test_all_masked(self):
+        res = nn_ops.nearest_neighbors(jnp.zeros((4, 3)), jnp.ones((4, 3)), jnp.zeros(4, bool))
+        assert np.all(np.isinf(np.asarray(res.dist2)))
+
+    def test_knn_matches_bruteforce(self):
+        rng = np.random.RandomState(1)
+        q = rng.randn(50, 3).astype(np.float32)
+        t = rng.randn(64, 3).astype(np.float32)
+        idx, d2 = nn_ops.knn(jnp.asarray(q), jnp.asarray(t), jnp.ones(64, bool), k=5, block=16)
+        d2_full = ((q[:, None] - t[None]) ** 2).sum(-1)
+        expect = np.sort(d2_full, axis=1)[:, :5]
+        np.testing.assert_allclose(np.sort(np.asarray(d2), axis=1), expect, atol=1e-4)
+
+
+class TestKabsch:
+    def test_recovers_exact_transform(self):
+        rng = np.random.RandomState(2)
+        src = rng.randn(200, 3).astype(np.float32)
+        gt = random_pose(3, t_scale=2.0, angle=0.8)
+        dst = se3.transform_points(gt, jnp.asarray(src))
+        est, ok = weighted_rigid_align(jnp.asarray(src), dst, jnp.ones(200))
+        assert bool(ok)
+        np.testing.assert_allclose(est.t, gt.t, atol=1e-4)
+        np.testing.assert_allclose(
+            np.abs(np.sum(np.asarray(est.q) * np.asarray(gt.q))), 1.0, atol=1e-5
+        )
+
+    def test_weights_reject_outliers(self):
+        rng = np.random.RandomState(4)
+        src = rng.randn(100, 3).astype(np.float32)
+        gt = random_pose(5, t_scale=1.0, angle=0.4)
+        dst = np.array(se3.transform_points(gt, jnp.asarray(src)))
+        dst[:10] += 50.0  # corrupt
+        w = np.ones(100, np.float32)
+        w[:10] = 0.0
+        est, ok = weighted_rigid_align(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w))
+        np.testing.assert_allclose(est.t, gt.t, atol=1e-4)
+
+    def test_zero_weights_fallback(self):
+        src = jnp.ones((8, 3))
+        est, ok = weighted_rigid_align(src, src, jnp.zeros(8))
+        assert not bool(ok)
+        np.testing.assert_allclose(est.q, [1, 0, 0, 0], atol=1e-6)
+
+    def test_degenerate_single_point(self):
+        # one point: translation-only fit, must not NaN
+        src = jnp.array([[1.0, 2.0, 3.0]])
+        dst = jnp.array([[2.0, 2.0, 3.0]])
+        est, ok = weighted_rigid_align(src, dst, jnp.ones(1))
+        assert bool(ok)
+        assert not np.any(np.isnan(np.asarray(est.t)))
+        moved = se3.transform_points(est, src)
+        np.testing.assert_allclose(moved, dst, atol=1e-5)
+
+
+class TestCovariance:
+    def test_planar_covariances(self):
+        # points on z=0 plane → smallest eigenvector ≈ z, eigvals (eps,1,1)
+        rng = np.random.RandomState(6)
+        pts = np.c_[rng.uniform(-1, 1, (128, 2)), np.zeros(128)].astype(np.float32)
+        cloud = pc.from_points(pts, capacity=128)
+        covs = covariance.gicp_covariances(cloud, k=8, epsilon=1e-3)
+        vals, vecs = np.linalg.eigh(np.asarray(covs))
+        np.testing.assert_allclose(vals[:, 0], 1e-3, atol=1e-4)
+        np.testing.assert_allclose(vals[:, 1:], 1.0, atol=1e-4)
+        # normal direction = z
+        normals = np.abs(vecs[:, :, 0])
+        np.testing.assert_allclose(normals[:, 2], 1.0, atol=1e-3)
+
+    def test_padding_gets_identity(self):
+        pts = np.random.RandomState(7).randn(10, 3).astype(np.float32)
+        cloud = pc.from_points(pts, capacity=16)
+        covs = np.asarray(covariance.gicp_covariances(cloud, k=4))
+        np.testing.assert_allclose(covs[10:], np.broadcast_to(np.eye(3), (6, 3, 3)))
+
+
+def make_scan_pair(seed, n=400, noise=0.0, capacity=512, t_scale=0.2, angle=0.15):
+    """Structured 3D scene (two walls + floor) seen from two poses."""
+    rng = np.random.RandomState(seed)
+    floor = np.c_[rng.uniform(-3, 3, (n // 2, 2)), np.zeros(n // 2)]
+    wall1 = np.c_[rng.uniform(-3, 3, n // 4), np.full(n // 4, 3.0), rng.uniform(0, 2, n // 4)]
+    wall2 = np.c_[np.full(n - n // 2 - n // 4, -3.0), rng.uniform(-3, 3, n - n // 2 - n // 4), rng.uniform(0, 2, n - n // 2 - n // 4)]
+    world = np.concatenate([floor, wall1, wall2]).astype(np.float32)
+    gt = random_pose(seed + 100, t_scale=t_scale, angle=angle)
+    # target = world seen at identity; source = world seen from gt⁻¹
+    # so transforming source by gt aligns it with target.
+    src_pts = np.asarray(se3.transform_points(se3.inverse(gt), jnp.asarray(world)))
+    if noise:
+        src_pts = src_pts + rng.randn(*src_pts.shape).astype(np.float32) * noise
+        world = world + rng.randn(*world.shape).astype(np.float32) * noise
+    return (
+        pc.from_points(src_pts, capacity=capacity),
+        pc.from_points(world, capacity=capacity),
+        gt,
+    )
+
+
+class TestIcp:
+    @pytest.mark.parametrize("mode", ["point", "plane"])
+    def test_recovers_transform(self, mode):
+        source, target, gt = make_scan_pair(10)
+        cfg = IcpConfig(mode=mode, max_iterations=30)
+        kwargs = {}
+        if mode == "plane":
+            kwargs = dict(
+                source_covs=covariance.gicp_covariances(source, k=8),
+                target_covs=covariance.gicp_covariances(target, k=8),
+            )
+        res = icp_mod.icp(source, target, cfg, **kwargs)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.pose.t), np.asarray(gt.t), atol=2e-2)
+        assert float(se3.distance_rotation(res.pose, gt)) < 2e-2
+        assert float(res.fitness) < 0.01
+
+    def test_noisy_scans(self):
+        source, target, gt = make_scan_pair(11, noise=0.02)
+        cfg = IcpConfig(mode="point", max_iterations=30)
+        res = icp_mod.icp(source, target, cfg)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.pose.t), np.asarray(gt.t), atol=0.1)
+
+    def test_identity_for_same_cloud(self):
+        source, _, _ = make_scan_pair(12)
+        cfg = IcpConfig(mode="point")
+        res = icp_mod.icp(source, source, cfg)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.pose.t), np.zeros(3), atol=1e-5)
+        # |q|²−2q·t+|t|² in float32 leaves ~1e-7 cancellation noise
+        assert float(res.fitness) < 1e-5
+        # early exit: should not burn all iterations on identical clouds
+        assert int(res.iterations) < 10
+
+    def test_no_overlap_not_converged(self):
+        rng = np.random.RandomState(13)
+        a = pc.from_points(rng.randn(50, 3).astype(np.float32), capacity=64)
+        b = pc.from_points(rng.randn(50, 3).astype(np.float32) + 100.0, capacity=64)
+        res = icp_mod.icp(a, b, IcpConfig(mode="point"))
+        assert not bool(res.converged)
+        assert np.isinf(float(res.fitness))
+
+    def test_jit_compiles(self):
+        source, target, gt = make_scan_pair(14)
+        cfg = IcpConfig(mode="point", max_iterations=10)
+        f = jax.jit(lambda s, t: icp_mod.icp(s, t, cfg))
+        res = f(source, target)
+        assert bool(res.converged)
+
+    def test_empty_source(self):
+        source = pc.empty(64)
+        _, target, _ = make_scan_pair(15)
+        res = icp_mod.icp(source, target, IcpConfig(mode="point"))
+        assert not bool(res.converged)

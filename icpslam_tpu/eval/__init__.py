@@ -1,0 +1,1 @@
+from icpslam_tpu.eval import metrics  # noqa: F401

@@ -1,0 +1,1 @@
+from icpslam_tpu.io import synthetic  # noqa: F401

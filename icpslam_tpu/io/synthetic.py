@@ -1,0 +1,117 @@
+"""Synthetic worlds and scan streams with ground truth.
+
+The reference has no test fixtures at all (SURVEY.md §4) — its only
+verification is replaying rosbags into rviz. This module is the framework's
+fixture generator: dense surface worlds, loop trajectories, and a simple
+range-limited scan renderer, all with exact ground-truth poses, used by the
+integration tests, the toy-loop benchmark config, and the examples.
+
+Host-side numpy (data generation is not a TPU workload); outputs feed the
+jitted pipeline as padded ``PointCloud``s.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+from icpslam_tpu.cloud import pointcloud as pc
+from icpslam_tpu.geometry import quaternion as quat
+from icpslam_tpu.geometry import se3
+
+import jax.numpy as jnp
+
+
+def make_room_world(
+    seed: int = 0,
+    n_points: int = 20000,
+    size: float = 20.0,
+    height: float = 3.0,
+) -> np.ndarray:
+    """Dense points on the surfaces of a box room: floor + 4 walls (+ some
+    interior pillars for structure). Returns (n, 3) float32."""
+    rng = np.random.RandomState(seed)
+    half = size / 2.0
+    n_floor = n_points // 3
+    n_wall = (n_points - n_floor) // 4
+    parts = [
+        np.c_[rng.uniform(-half, half, (n_floor, 2)), np.zeros(n_floor)],
+        np.c_[rng.uniform(-half, half, n_wall), np.full(n_wall, half), rng.uniform(0, height, n_wall)],
+        np.c_[rng.uniform(-half, half, n_wall), np.full(n_wall, -half), rng.uniform(0, height, n_wall)],
+        np.c_[np.full(n_wall, half), rng.uniform(-half, half, n_wall), rng.uniform(0, height, n_wall)],
+        np.c_[np.full(n_wall, -half), rng.uniform(-half, half, n_wall), rng.uniform(0, height, n_wall)],
+    ]
+    # pillars break the symmetry so ICP locks in all DoF
+    n_pillar = max(n_points - n_floor - 4 * n_wall, 200)
+    centers = rng.uniform(-half * 0.6, half * 0.6, (6, 2))
+    th = rng.uniform(0, 2 * np.pi, n_pillar)
+    which = rng.randint(0, 6, n_pillar)
+    pillar = np.c_[
+        centers[which, 0] + 0.3 * np.cos(th),
+        centers[which, 1] + 0.3 * np.sin(th),
+        rng.uniform(0, height, n_pillar),
+    ]
+    parts.append(pillar)
+    return np.concatenate(parts).astype(np.float32)
+
+
+def make_loop_trajectory(
+    n_poses: int = 60,
+    radius: float = 6.0,
+    z: float = 1.0,
+    laps: float = 1.0,
+) -> se3.Pose:
+    """Circular loop trajectory (batched Pose, world-from-body), heading
+    tangent to the circle. One full lap returns to the start — the loop-
+    closure test case."""
+    theta = np.linspace(0, 2 * np.pi * laps, n_poses, endpoint=False)
+    t = np.c_[radius * np.cos(theta), radius * np.sin(theta), np.full(n_poses, z)]
+    yaw = theta + np.pi / 2  # tangent heading
+    q = np.stack([np.cos(yaw / 2), np.zeros_like(yaw), np.zeros_like(yaw), np.sin(yaw / 2)], axis=-1)
+    return se3.Pose(t=jnp.asarray(t, jnp.float32), q=jnp.asarray(q, jnp.float32))
+
+
+def render_scan(
+    world: np.ndarray,
+    pose_t: np.ndarray,
+    pose_q: np.ndarray,
+    max_range: float = 10.0,
+    n_points: int = 2048,
+    noise: float = 0.01,
+    seed: int = 0,
+) -> np.ndarray:
+    """Simulate a scan: world points within range, expressed in the sensor
+    frame, subsampled to ``n_points`` with Gaussian range noise. (n, 3)."""
+    rng = np.random.RandomState(seed)
+    d = np.linalg.norm(world - pose_t[None, :], axis=-1)
+    visible = world[d <= max_range]
+    if visible.shape[0] > n_points:
+        sel = rng.choice(visible.shape[0], n_points, replace=False)
+        visible = visible[sel]
+    # world → sensor frame: R⁻¹ (p - t)
+    inv = se3.inverse(se3.Pose(t=jnp.asarray(pose_t, jnp.float32), q=jnp.asarray(pose_q, jnp.float32)))
+    local = np.asarray(se3.transform_points(inv, jnp.asarray(visible, jnp.float32)))
+    if noise:
+        local = local + rng.randn(*local.shape).astype(np.float32) * noise
+    return local.astype(np.float32)
+
+
+def scan_stream(
+    world: np.ndarray,
+    trajectory: se3.Pose,
+    capacity: int,
+    max_range: float = 10.0,
+    n_points: int = 2048,
+    noise: float = 0.01,
+    seed: int = 0,
+) -> Iterator[pc.PointCloud]:
+    """Yield padded sensor-frame scans along a trajectory."""
+    t = np.asarray(trajectory.t)
+    q = np.asarray(trajectory.q)
+    for i in range(t.shape[0]):
+        pts = render_scan(
+            world, t[i], q[i], max_range=max_range, n_points=n_points,
+            noise=noise, seed=seed + i,
+        )
+        yield pc.from_points(pts, capacity=capacity)

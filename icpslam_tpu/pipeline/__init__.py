@@ -1,0 +1,1 @@
+from icpslam_tpu.pipeline import odometry  # noqa: F401

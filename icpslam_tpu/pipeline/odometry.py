@@ -1,0 +1,183 @@
+"""ICP scan-to-scan odometry front-end.
+
+Functional equivalent of the reference's ``IcpOdometer``
+(``/root/reference/src/icpslam/icp_odometer.cpp``): voxel-filter the
+incoming cloud, register it against the previous cloud, and accumulate the
+relative transform into an odometry pose — but as a pure
+``state' , out = odometry_step(state, scan)`` function under ``jit``
+instead of a racy ROS callback (SURVEY.md §5.2: single-owner functional
+state replaces the reference's unlocked shared mutables).
+
+Behavioral contract preserved:
+- cloud skipping for high-rate sensors (``icp_odometer.cpp:154-159``)
+- first-cloud bootstrap stash (``:179-182``)
+- accept gate ``converged && fitness < threshold`` (``:201``); a rejected
+  scan does not advance the pose (graceful degradation, SURVEY §5.3)
+- a drainable relative-transform accumulator mirroring
+  ``icp_latest_transform_`` handed out by ``getEstimates`` (``:82-94``)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from icpslam_tpu.cloud import pointcloud as pc
+from icpslam_tpu.cloud.voxel import voxel_downsample
+from icpslam_tpu.config import SlamConfig
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.ops import covariance as cov_ops
+from icpslam_tpu.ops import icp as icp_ops
+
+
+class OdometryState(NamedTuple):
+    initialized: jnp.ndarray   # bool: first cloud stashed
+    pose: Pose                 # accumulated odometry pose (odom frame)
+    accum: Pose                # relative-transform accumulator (drained by back-end)
+    prev_cloud: pc.PointCloud  # last processed (filtered) cloud
+    prev_covs: jnp.ndarray     # (N, 3, 3) GICP covariances of prev_cloud
+    last_transform: Pose       # last accepted relative motion (constant-velocity prior)
+    skip_count: jnp.ndarray    # int32 remaining clouds to skip
+    scan_count: jnp.ndarray    # int32 total scans seen
+
+
+class OdometryOutput(NamedTuple):
+    pose: Pose                 # odometry pose after this scan
+    transform: Pose            # accepted relative transform (identity if rejected)
+    processed: jnp.ndarray     # bool: scan was registered (not skipped/bootstrap)
+    accepted: jnp.ndarray      # bool: passed the convergence+fitness gate
+    fitness: jnp.ndarray
+    num_correspondences: jnp.ndarray
+    iterations: jnp.ndarray
+    num_voxels: jnp.ndarray    # occupied voxels before capacity clipping
+    filtered: pc.PointCloud    # the downsampled scan (consumed by mapping)
+
+
+def init_state(config: SlamConfig, initial_pose: Pose | None = None) -> OdometryState:
+    if initial_pose is None:
+        initial_pose = se3.identity()
+    n = config.max_points
+    return OdometryState(
+        initialized=jnp.asarray(False),
+        pose=initial_pose,
+        accum=se3.identity(),
+        prev_cloud=pc.empty(n),
+        prev_covs=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3)),
+        last_transform=se3.identity(),
+        skip_count=jnp.asarray(0, jnp.int32),
+        scan_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def set_initial_pose(state: OdometryState, pose: Pose) -> OdometryState:
+    """Bootstrap from external (wheel) odometry — ``setInitialPose``
+    (``icp_odometer.cpp:69-72``)."""
+    return state._replace(pose=pose)
+
+
+def drain_accumulator(state: OdometryState) -> Tuple[Pose, OdometryState]:
+    """Hand out the accumulated relative transform since the last drain and
+    reset it to identity — ``getEstimates`` semantics (``:82-94``)."""
+    return state.accum, state._replace(accum=se3.identity())
+
+
+def odometry_step(
+    state: OdometryState, raw_scan: pc.PointCloud, config: SlamConfig
+) -> Tuple[OdometryState, OdometryOutput]:
+    """Process one raw sensor-frame scan. Jit with ``static_argnums=(2,)``."""
+    icfg = config.icp_odometry
+    plane = icfg.mode == "plane"
+
+    filtered, num_voxels = voxel_downsample(
+        raw_scan, config.voxel_leaf_size, config.max_points
+    )
+    covs = (
+        cov_ops.gicp_covariances(filtered, k=icfg.covariance_knn, epsilon=icfg.covariance_epsilon)
+        if plane
+        else state.prev_covs  # unused placeholder keeps pytree shape static
+    )
+
+    skip = state.initialized & (state.skip_count > 0)
+    do_register = state.initialized & ~skip
+
+    def register(_):
+        # constant-velocity prior: seed ICP with the last accepted motion.
+        # (Improvement over the reference's identity init — lets the gate
+        # hold at larger inter-scan motion; falls back gracefully since a
+        # bad prior just costs iterations.)
+        res = icp_ops.icp(
+            filtered,
+            state.prev_cloud,
+            icfg,
+            init=state.last_transform,
+            source_covs=covs if plane else None,
+            target_covs=state.prev_covs if plane else None,
+        )
+        accepted = res.converged & (res.fitness < icfg.fitness_threshold)
+        # icp maps current scan into the previous frame → relative motion
+        transform = Pose(
+            t=jnp.where(accepted, res.pose.t, 0.0),
+            q=jnp.where(accepted, res.pose.q, se3.identity().q),
+        )
+        return transform, accepted, res.fitness, res.num_correspondences, res.iterations
+
+    def no_register(_):
+        ident = se3.identity()
+        return (
+            ident,
+            jnp.asarray(False),
+            jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+
+    transform, accepted, fitness, n_corr, iters = jax.lax.cond(
+        do_register, register, no_register, operand=None
+    )
+
+    new_pose = se3.normalize(se3.compose(state.pose, transform))
+    new_accum = se3.normalize(se3.compose(state.accum, transform))
+
+    # prev cloud/covs update on every *processed* scan (bootstrap or registered)
+    take_cloud = ~skip
+    sel = lambda new, old: jax.tree_util.tree_map(
+        lambda a, b: jnp.where(take_cloud, a, b), new, old
+    )
+    new_prev_cloud = sel(filtered, state.prev_cloud)
+    new_prev_covs = jnp.where(take_cloud, covs, state.prev_covs) if plane else state.prev_covs
+
+    new_skip = jnp.where(
+        skip,
+        state.skip_count - 1,
+        jnp.asarray(config.num_clouds_skip, jnp.int32),
+    )
+
+    new_last = Pose(
+        t=jnp.where(accepted, transform.t, state.last_transform.t),
+        q=jnp.where(accepted, transform.q, state.last_transform.q),
+    )
+    new_state = OdometryState(
+        initialized=jnp.asarray(True),
+        pose=new_pose,
+        accum=new_accum,
+        prev_cloud=new_prev_cloud,
+        prev_covs=new_prev_covs,
+        last_transform=new_last,
+        skip_count=new_skip,
+        scan_count=state.scan_count + 1,
+    )
+    out = OdometryOutput(
+        pose=new_pose,
+        transform=transform,
+        processed=do_register,
+        accepted=accepted,
+        fitness=fitness,
+        num_correspondences=n_corr,
+        iterations=iters,
+        num_voxels=num_voxels,
+        filtered=filtered,
+    )
+    return new_state, out

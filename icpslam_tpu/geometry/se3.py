@@ -100,31 +100,35 @@ def normalize(a: Pose) -> Pose:
 # ----------------------------------------------------------------------------
 
 
-def _sinc(x):
-    """sin(x)/x with Taylor guard."""
-    small = jnp.abs(x) < 1e-4
-    xs = jnp.where(small, 1.0, x)  # avoid 0/0 in the false branch
-    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
-
-
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rotation-vector (..., 3) → unit quaternion (..., 4)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    """Rotation-vector (..., 3) → unit quaternion (..., 4).
+
+    Differentiation-safe at w = 0 (double-where: the dangerous ``sqrt`` is
+    applied to a guarded operand so forward-mode tangents stay finite —
+    required by the pose-graph solver's ``jacfwd`` at zero perturbations).
+    """
+    n2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = n2 < 1e-12
+    theta = jnp.sqrt(jnp.where(small, 1.0, n2))
     half = 0.5 * theta
-    qw = jnp.cos(half)
-    qxyz = 0.5 * _sinc(half) * w
-    return jnp.concatenate([qw, qxyz], axis=-1)
+    qw = jnp.where(small, 1.0 - n2 / 8.0, jnp.cos(half))
+    scale = jnp.where(small, 0.5 - n2 / 48.0, jnp.sin(half) / theta)
+    return jnp.concatenate([qw, scale * w], axis=-1)
 
 
 def so3_log(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion → rotation vector (..., 3), angle in [0, pi]."""
+    """Unit quaternion → rotation vector (..., 3), angle in [0, pi].
+
+    Differentiation-safe at the identity quaternion (double-where guards).
+    """
     q = jnp.where(q[..., :1] < 0, -q, q)  # shortest arc
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     xyz = q[..., 1:]
-    n = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    n2 = jnp.sum(xyz * xyz, axis=-1, keepdims=True)
+    small = n2 < 1e-12
+    n = jnp.sqrt(jnp.where(small, 1.0, n2))
     theta = 2.0 * jnp.arctan2(n, w)
-    small = n < 1e-8
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / jnp.where(small, 1.0, n))
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / n)
     return scale * xyz
 
 
@@ -141,31 +145,34 @@ def _skew(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
-    """Left Jacobian J_l of SO(3) at rotation vector w, (..., 3, 3)."""
+    """Left Jacobian J_l of SO(3) at rotation vector w, (..., 3, 3).
+
+    Differentiation-safe at w = 0 (guarded sqrt/denominators).
+    """
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
-    theta = jnp.sqrt(theta2)
+    small = theta2 < 1e-8
+    t2 = jnp.where(small, 1.0, theta2)
+    t = jnp.sqrt(t2)
     W = _skew(w)
     W2 = W @ W
-    small = theta < 1e-4
-    t = jnp.where(small, 1.0, theta)
-    A = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(t)) / (t * t))
-    B = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (t - jnp.sin(t)) / (t * t * t))
+    A = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(t)) / t2)
+    B = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (t - jnp.sin(t)) / (t2 * t))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + A * W + B * W2
 
 
 def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
-    theta = jnp.sqrt(theta2)
+    small = theta2 < 1e-8
+    t2 = jnp.where(small, 1.0, theta2)
+    t = jnp.sqrt(t2)
     W = _skew(w)
     W2 = W @ W
-    small = theta < 1e-4
-    t = jnp.where(small, 1.0, theta)
     half_t = 0.5 * t
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half_t * jnp.cos(half_t) / jnp.sin(half_t)) / (t * t),
+        (1.0 - half_t * jnp.cos(half_t) / jnp.sin(half_t)) / t2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + cot_term * W2

@@ -1,0 +1,235 @@
+"""SE(3) pose-graph optimization: batched Gauss-Newton / Levenberg-Marquardt.
+
+Replaces g2o's sparse optimizer (used via ``pose_graph_utils::PoseGraphG2O``
+at ``/root/reference/src/icpslam/icpslam.cpp:77,84,171``). The TPU
+formulation is dense-block and batched:
+
+- residual per edge: ``r = log(Z⁻¹ · X_i⁻¹ · X_j)`` ∈ se(3), with the
+  edge's 6×6 information matrix Ω (configured diagonals,
+  ``icpslam.cpp:28-40``)
+- Jacobians wrt right-perturbations of the two incident poses via
+  forward-mode autodiff, vmapped over all edges at once
+- normal equations assembled as a (K, 6, K, 6) block tensor with
+  scatter-adds — for keyframe-scale graphs (K ≤ ~1k) the dense 6K×6K
+  Cholesky runs on the MXU faster than any sparse code would
+- gauge freedom fixed by a strong prior on node 0 (g2o's setFixed analog)
+- both solver backends of the reference's intent (launch arg
+  ``optimization_backend``): plain GN and LM with adaptive damping
+
+Distributed (edge-sharded) assembly lives in ``parallel/dist_graph.py``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+
+
+class EdgeSet(NamedTuple):
+    """Fixed-capacity relative-pose constraints i → j."""
+
+    i: jnp.ndarray      # (E,) int32
+    j: jnp.ndarray      # (E,) int32
+    rel_t: jnp.ndarray  # (E, 3) measured relative translation (Z_ij)
+    rel_q: jnp.ndarray  # (E, 4) measured relative rotation
+    info: jnp.ndarray   # (E, 6, 6) information matrices
+    valid: jnp.ndarray  # (E,) bool
+    count: jnp.ndarray  # int32
+
+    @property
+    def capacity(self) -> int:
+        return self.i.shape[0]
+
+    def rel(self) -> Pose:
+        return Pose(t=self.rel_t, q=self.rel_q)
+
+
+def empty_edges(capacity: int, dtype=jnp.float32) -> EdgeSet:
+    ident = se3.identity((capacity,), dtype)
+    return EdgeSet(
+        i=jnp.zeros((capacity,), jnp.int32),
+        j=jnp.zeros((capacity,), jnp.int32),
+        rel_t=ident.t,
+        rel_q=ident.q,
+        info=jnp.broadcast_to(jnp.eye(6, dtype=dtype), (capacity, 6, 6)),
+        valid=jnp.zeros((capacity,), bool),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def add_edge(
+    edges: EdgeSet,
+    i: jnp.ndarray,
+    j: jnp.ndarray,
+    rel: Pose,
+    info: jnp.ndarray,
+    enable: jnp.ndarray | bool = True,
+) -> EdgeSet:
+    """Append one edge (no-op when ``enable`` is False or at capacity)."""
+    enable = jnp.asarray(enable) & (edges.count < edges.capacity)
+    idx = jnp.minimum(edges.count, edges.capacity - 1)
+
+    def upd(arr, val):
+        return jnp.where(enable, arr.at[idx].set(val), arr)
+
+    return EdgeSet(
+        i=upd(edges.i, jnp.asarray(i, jnp.int32)),
+        j=upd(edges.j, jnp.asarray(j, jnp.int32)),
+        rel_t=upd(edges.rel_t, rel.t),
+        rel_q=upd(edges.rel_q, rel.q),
+        info=upd(edges.info, info),
+        valid=upd(edges.valid, True),
+        count=jnp.where(enable, edges.count + 1, edges.count),
+    )
+
+
+def edge_residuals(nodes: Pose, edges: EdgeSet) -> jnp.ndarray:
+    """(E, 6) residuals log(Z⁻¹ · X_i⁻¹ · X_j); zero for invalid edges."""
+    Xi = Pose(t=nodes.t[edges.i], q=nodes.q[edges.i])
+    Xj = Pose(t=nodes.t[edges.j], q=nodes.q[edges.j])
+    pred = se3.relative(Xi, Xj)
+    err = se3.compose(se3.inverse(edges.rel()), pred)
+    r = se3.se3_log(err)
+    return jnp.where(edges.valid[:, None], r, 0.0)
+
+
+def graph_cost(nodes: Pose, edges: EdgeSet) -> jnp.ndarray:
+    r = edge_residuals(nodes, edges)
+    return jnp.sum(jnp.einsum("ei,eij,ej->e", r, edges.info, r))
+
+
+def _edge_jacobians(nodes: Pose, edges: EdgeSet):
+    """Per-edge residual + Jacobians wrt right-perturbations (E,6,6) each."""
+
+    def res_one(xi_t, xi_q, xj_t, xj_q, z_t, z_q, d_i, d_j):
+        Xi = se3.compose(Pose(t=xi_t, q=xi_q), se3.se3_exp(d_i))
+        Xj = se3.compose(Pose(t=xj_t, q=xj_q), se3.se3_exp(d_j))
+        pred = se3.relative(Xi, Xj)
+        err = se3.compose(se3.inverse(Pose(t=z_t, q=z_q)), pred)
+        return se3.se3_log(err)
+
+    zeros = jnp.zeros((6,), nodes.t.dtype)
+
+    def one_edge(i, j, z_t, z_q):
+        args = (nodes.t[i], nodes.q[i], nodes.t[j], nodes.q[j], z_t, z_q)
+        r = res_one(*args, zeros, zeros)
+        Ji = jax.jacfwd(lambda d: res_one(*args, d, zeros))(zeros)
+        Jj = jax.jacfwd(lambda d: res_one(*args, zeros, d))(zeros)
+        return r, Ji, Jj
+
+    return jax.vmap(one_edge)(edges.i, edges.j, edges.rel_t, edges.rel_q)
+
+
+def normal_equations(
+    nodes: Pose,
+    edges: EdgeSet,
+    node_mask: jnp.ndarray,
+    anchor_weight: float = 1e6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Assemble the (K,6,K,6) block Hessian and (K,6) gradient.
+
+    Invalid edges contribute zero (their Ω is masked); dead nodes get an
+    identity diagonal so the dense factorization stays well-posed; node 0
+    is anchored with a strong prior.
+    """
+    K = nodes.t.shape[0]
+    r, Ji, Jj = _edge_jacobians(nodes, edges)
+    w = edges.valid.astype(nodes.t.dtype)
+    info = edges.info * w[:, None, None]
+
+    JiT_O = jnp.einsum("eki,ekl->eil", Ji, info)   # (E, 6, 6) = Jiᵀ Ω
+    JjT_O = jnp.einsum("eki,ekl->eil", Jj, info)
+
+    Hii = jnp.einsum("eil,elk->eik", JiT_O, Ji)
+    Hij = jnp.einsum("eil,elk->eik", JiT_O, Jj)
+    Hjj = jnp.einsum("eil,elk->eik", JjT_O, Jj)
+    Hji = jnp.swapaxes(Hij, -1, -2)
+
+    bi = jnp.einsum("eil,el->ei", JiT_O, r)
+    bj = jnp.einsum("eil,el->ei", JjT_O, r)
+
+    H = jnp.zeros((K, 6, K, 6), nodes.t.dtype)
+    H = H.at[edges.i, :, edges.i, :].add(Hii)
+    H = H.at[edges.i, :, edges.j, :].add(Hij)
+    H = H.at[edges.j, :, edges.i, :].add(Hji)
+    H = H.at[edges.j, :, edges.j, :].add(Hjj)
+
+    b = jnp.zeros((K, 6), nodes.t.dtype)
+    b = b.at[edges.i].add(bi)
+    b = b.at[edges.j].add(bj)
+
+    eye6 = jnp.eye(6, dtype=nodes.t.dtype)
+    diag_idx = jnp.arange(K)
+    # dead nodes: identity diagonal, zero gradient
+    dead = (~node_mask).astype(nodes.t.dtype)
+    H = H.at[diag_idx, :, diag_idx, :].add(dead[:, None, None] * eye6)
+    b = b * node_mask[:, None]
+    # gauge anchor on node 0
+    H = H.at[0, :, 0, :].add(anchor_weight * eye6)
+    return H, b
+
+
+def _solve_and_update(nodes, H, b, damping, node_mask):
+    K = nodes.t.shape[0]
+    eye6 = jnp.eye(6, dtype=nodes.t.dtype)
+    diag_idx = jnp.arange(K)
+    diag_blocks = H[diag_idx, :, diag_idx, :]
+    scale = jnp.einsum("kii->k", diag_blocks) / 6.0  # mean diagonal per node
+    Hd = H.at[diag_idx, :, diag_idx, :].add(
+        damping * jnp.maximum(scale, 1e-6)[:, None, None] * eye6
+    )
+    Hm = Hd.reshape(K * 6, K * 6)
+    delta = jax.scipy.linalg.solve(Hm, -b.reshape(K * 6), assume_a="pos")
+    delta = delta.reshape(K, 6) * node_mask[:, None]
+    new = se3.normalize(se3.compose(nodes, se3.se3_exp(delta)))
+    return new, delta
+
+
+class SolveStats(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def optimize(
+    nodes: Pose,
+    edges: EdgeSet,
+    node_mask: jnp.ndarray,
+    iterations: int = 10,
+    mode: str = "lm",
+    init_damping: float = 1e-4,
+) -> Tuple[Pose, SolveStats]:
+    """Optimize node poses. ``mode``: 'gn' (fixed GN steps) or 'lm'
+    (adaptive damping with accept/reject, g2o-style)."""
+    c0 = graph_cost(nodes, edges)
+
+    if mode == "gn":
+        def body(it, nodes):
+            H, b = normal_equations(nodes, edges, node_mask)
+            new, _ = _solve_and_update(nodes, H, b, 0.0, node_mask)
+            return new
+        final = jax.lax.fori_loop(0, iterations, body, nodes)
+        return final, SolveStats(c0, graph_cost(final, edges), jnp.asarray(iterations))
+
+    def body(it, carry):
+        nodes, lam, cost = carry
+        H, b = normal_equations(nodes, edges, node_mask)
+        cand, _ = _solve_and_update(nodes, H, b, lam, node_mask)
+        c_new = graph_cost(cand, edges)
+        accept = c_new < cost
+        nodes = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(accept, a, b_), cand, nodes
+        )
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(accept, c_new, cost)
+        return nodes, lam, cost
+
+    final, _, c_end = jax.lax.fori_loop(
+        0, iterations, body, (nodes, jnp.asarray(init_damping, nodes.t.dtype), c0)
+    )
+    return final, SolveStats(c0, c_end, jnp.asarray(iterations))

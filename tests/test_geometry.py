@@ -188,6 +188,15 @@ class TestLieMaps:
             np.abs(np.sum(lhs.q * rhs.q)), 1.0, atol=1e-5
         )
 
+    def test_jacfwd_safe_at_zero(self):
+        # regression: forward-mode tangents of the Lie maps must stay finite
+        # at the zero twist (the pose-graph solver differentiates there)
+        J = jax.jacfwd(lambda d: se3.se3_log(se3.compose(se3.se3_exp(d), se3.identity())))(
+            jnp.zeros(6)
+        )
+        assert not np.any(np.isnan(np.asarray(J)))
+        np.testing.assert_allclose(np.asarray(J), np.eye(6), atol=1e-5)
+
     def test_jit_and_vmap(self):
         # the whole layer must be jit/vmap friendly
         f = jax.jit(lambda a, b: se3.se3_log(se3.relative(a, b)))

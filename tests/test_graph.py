@@ -1,0 +1,140 @@
+"""Tests for the keyframe store and SE(3) pose-graph solver: zero residual
+at ground truth, drift correction with loop closures, GN/LM backends."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icpslam_tpu import cloud as pc
+from icpslam_tpu.geometry import quaternion as quat
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.graph import keyframes as kf
+from icpslam_tpu.graph import pose_graph as pg
+
+
+def circle_poses(n, radius=5.0):
+    theta = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    t = np.c_[radius * np.cos(theta), radius * np.sin(theta), np.zeros(n)]
+    yaw = theta + np.pi / 2
+    q = np.stack([np.cos(yaw / 2), np.zeros_like(yaw), np.zeros_like(yaw), np.sin(yaw / 2)], -1)
+    return Pose(t=jnp.asarray(t, jnp.float32), q=jnp.asarray(q, jnp.float32))
+
+
+def build_chain_edges(gt: Pose, capacity: int, info_scale=100.0, noise=0.0, seed=0, close_loop=False):
+    """Sequential edges from ground truth (optionally noisy), padded EdgeSet."""
+    rng = np.random.RandomState(seed)
+    n = gt.t.shape[0]
+    edges = pg.empty_edges(capacity)
+    info = info_scale * jnp.eye(6)
+    for k in range(n - 1):
+        rel = se3.relative(se3.index(gt, k), se3.index(gt, k + 1))
+        if noise:
+            xi = jnp.asarray(rng.randn(6) * noise, jnp.float32)
+            rel = se3.compose(rel, se3.se3_exp(xi))
+        edges = pg.add_edge(edges, k, k + 1, rel, info)
+    if close_loop:
+        rel = se3.relative(se3.index(gt, n - 1), se3.index(gt, 0))
+        edges = pg.add_edge(edges, n - 1, 0, rel, info)
+    return edges
+
+
+class TestKeyframeStore:
+    def test_add_and_latest(self):
+        store = kf.empty(capacity=8, cloud_capacity=16)
+        cloud = pc.from_points(np.random.RandomState(0).randn(10, 3), capacity=16)
+        p1 = Pose(t=jnp.array([1.0, 0, 0]), q=quat.identity())
+        store, idx = kf.add(store, p1, p1, cloud, jnp.asarray(0.5))
+        assert int(idx) == 0 and int(store.count) == 1
+        np.testing.assert_allclose(np.asarray(kf.latest(store).t), [1, 0, 0])
+        p2 = Pose(t=jnp.array([2.0, 0, 0]), q=quat.identity())
+        store, idx = kf.add(store, p2, p2, cloud, jnp.asarray(1.0))
+        assert int(idx) == 1
+        np.testing.assert_allclose(np.asarray(kf.latest(store).t), [2, 0, 0])
+
+    def test_capacity_overflow_drops(self):
+        store = kf.empty(capacity=2, cloud_capacity=4)
+        cloud = pc.empty(4)
+        p = Pose(t=jnp.ones(3), q=quat.identity())
+        for _ in range(3):
+            store, _ = kf.add(store, p, p, cloud, jnp.asarray(0.0))
+        assert int(store.count) == 2
+
+    def test_jit_add(self):
+        store = kf.empty(capacity=4, cloud_capacity=8)
+        cloud = pc.empty(8)
+        p = Pose(t=jnp.ones(3), q=quat.identity())
+        add = jax.jit(kf.add)
+        store, _ = add(store, p, p, cloud, jnp.asarray(0.0))
+        assert int(store.count) == 1
+
+
+class TestPoseGraph:
+    def test_zero_residual_at_ground_truth(self):
+        gt = circle_poses(8)
+        edges = build_chain_edges(gt, capacity=16, close_loop=True)
+        r = pg.edge_residuals(gt, edges)
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-5)
+        assert float(pg.graph_cost(gt, edges)) < 1e-6
+
+    def test_invalid_edges_ignored(self):
+        gt = circle_poses(4)
+        edges = pg.empty_edges(8)  # all invalid
+        assert float(pg.graph_cost(gt, edges)) == 0.0
+
+    @pytest.mark.parametrize("mode", ["gn", "lm"])
+    def test_loop_closure_corrects_drift(self, mode):
+        n = 12
+        gt = circle_poses(n)
+        # corrupt the odometry estimate with accumulated drift
+        rng = np.random.RandomState(1)
+        drift = se3.se3_exp(jnp.asarray(
+            np.cumsum(rng.randn(n, 6) * 0.02, axis=0), jnp.float32))
+        noisy = se3.normalize(se3.compose(gt, drift))
+        # anchor stays at ground truth
+        noisy = Pose(
+            t=noisy.t.at[0].set(gt.t[0]), q=noisy.q.at[0].set(gt.q[0])
+        )
+        # edges measured from *ground truth* (perfect measurements incl. loop)
+        edges = build_chain_edges(gt, capacity=16, close_loop=True)
+        mask = jnp.ones(n, bool)
+
+        c_before = float(pg.graph_cost(noisy, edges))
+        opt, stats = pg.optimize(noisy, edges, mask, iterations=20, mode=mode)
+        c_after = float(stats.final_cost)
+        assert c_after < c_before * 1e-3, (c_before, c_after)
+        err = np.linalg.norm(np.asarray(opt.t) - np.asarray(gt.t), axis=-1)
+        assert err.max() < 0.05, err.max()
+
+    def test_anchor_fixed(self):
+        gt = circle_poses(6)
+        edges = build_chain_edges(gt, capacity=8, noise=0.05, seed=2, close_loop=True)
+        opt, _ = pg.optimize(gt, edges, jnp.ones(6, bool), iterations=10, mode="lm")
+        np.testing.assert_allclose(np.asarray(opt.t[0]), np.asarray(gt.t[0]), atol=1e-3)
+
+    def test_dead_nodes_untouched(self):
+        # capacity 8, only 4 live nodes
+        gt = circle_poses(4)
+        K = 8
+        nodes = Pose(
+            t=jnp.concatenate([gt.t, jnp.zeros((4, 3))]),
+            q=jnp.concatenate([gt.q, se3.identity((4,)).q]),
+        )
+        edges = build_chain_edges(gt, capacity=8, noise=0.02, seed=3)
+        mask = jnp.arange(K) < 4
+        opt, _ = pg.optimize(nodes, edges, mask, iterations=5, mode="gn")
+        np.testing.assert_allclose(np.asarray(opt.t[4:]), 0.0, atol=1e-6)
+        assert not np.any(np.isnan(np.asarray(opt.t)))
+
+    def test_jit_optimize(self):
+        gt = circle_poses(6)
+        edges = build_chain_edges(gt, capacity=8, noise=0.05, seed=4, close_loop=True)
+        f = jax.jit(lambda n, e, m: pg.optimize(n, e, m, iterations=10, mode="lm"))
+        opt, stats = f(gt, edges, jnp.ones(6, bool))
+        assert float(stats.final_cost) <= float(stats.initial_cost)
+
+    def test_edge_capacity_overflow(self):
+        gt = circle_poses(8)
+        edges = build_chain_edges(gt, capacity=4)  # 7 edges into cap 4
+        assert int(edges.count) == 4

@@ -1,0 +1,124 @@
+"""Scan-to-map refinement and map growth.
+
+Functional equivalent of ``OctreeMapper::refineTransformAndGrowMap``
+(``/root/reference/src/icpslam/octree_mapper.cpp:133-173``):
+
+1. transform the scan into the map frame with the raw odometry pose
+2. empty map → just seed it with the scan, no refinement (``:138-142``)
+3. approx-NN of every scan point against the map (``:148``)
+4. pull the matched NN points back into the robot frame and register the
+   scan against them with ICP (``:149-155``, 30 iters)
+5. on success: refined pose = raw ∘ correction; grow the map with the
+   re-transformed scan (occupancy dedup); on failure: leave pose and map
+   unchanged (the orchestrator falls back to the raw transform,
+   ``icpslam.cpp:136-140``)
+
+Everything is a single jit-compatible function with ``lax.cond`` routing —
+the empty-map and failure branches stay data-dependent but compiled.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from icpslam_tpu.cloud import pointcloud as pc
+from icpslam_tpu.config import SlamConfig
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.mapping import voxel_map as vm
+from icpslam_tpu.ops import covariance as cov_ops
+from icpslam_tpu.ops import icp as icp_ops
+
+
+class RefineResult(NamedTuple):
+    success: jnp.ndarray      # bool: refinement accepted (False for empty map / failure)
+    refined_pose: Pose        # map-frame pose (== raw_pose unless success)
+    correction: Pose          # robot-frame correction transform (identity unless success)
+    fitness: jnp.ndarray
+    nn_found: jnp.ndarray     # int32: scan points with a map NN
+    map: vm.VoxelMap          # grown (or seeded) map
+
+
+def refine_and_grow(
+    map_: vm.VoxelMap,
+    scan: pc.PointCloud,
+    raw_pose: Pose,
+    config: SlamConfig,
+) -> RefineResult:
+    """Refine ``raw_pose`` against the map and grow the map with the scan.
+
+    ``scan`` is the *downsampled* sensor-frame cloud (the odometry
+    front-end's ``filtered`` output), matching the reference feeding the
+    odometer's cloud into the mapper (``icpslam.cpp:130-135``).
+    """
+    icfg = config.icp_mapping
+    res_m = config.map_resolution
+    cloud_in_map = pc.transform(raw_pose, scan)
+    map_empty = map_.size == 0
+
+    def seed(_):
+        grown = vm.insert(map_, cloud_in_map, res_m)
+        return RefineResult(
+            success=jnp.asarray(False),
+            refined_pose=raw_pose,
+            correction=se3.identity(),
+            fitness=jnp.asarray(jnp.inf, jnp.float32),
+            nn_found=jnp.asarray(0, jnp.int32),
+            map=grown,
+        )
+
+    def refine(_):
+        nn = vm.approx_nn(
+            map_, cloud_in_map.points, cloud_in_map.mask, res_m,
+            radius=config.map_nn_radius,
+        )
+        # NN points back into the robot frame (reference ``:149``)
+        inv = se3.inverse(raw_pose)
+        nn_robot = pc.PointCloud(
+            points=jnp.where(
+                nn.found[:, None], se3.transform_points(inv, nn.points), 0.0
+            ),
+            mask=nn.found,
+        )
+        plane = icfg.mode == "plane"
+        kwargs = {}
+        if plane:
+            kwargs = dict(
+                source_covs=cov_ops.gicp_covariances(
+                    scan, k=icfg.covariance_knn, epsilon=icfg.covariance_epsilon
+                ),
+                target_covs=cov_ops.gicp_covariances(
+                    nn_robot, k=icfg.covariance_knn, epsilon=icfg.covariance_epsilon
+                ),
+            )
+        icp_res = icp_ops.icp(scan, nn_robot, icfg, **kwargs)
+        # reference accepts on hasConverged() alone here (no fitness gate,
+        # ``octree_mapper.cpp:117``)
+        success = icp_res.converged
+        correction = Pose(
+            t=jnp.where(success, icp_res.pose.t, 0.0),
+            q=jnp.where(success, icp_res.pose.q, se3.identity().q),
+        )
+        refined = se3.normalize(se3.compose(raw_pose, correction))
+        grow_cloud = pc.transform(refined, scan)
+        grown = vm.insert(map_, grow_cloud, res_m)
+        # on failure the reference does not grow the map (``:155-169``)
+        final_map = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(success, a, b), grown, map_
+        )
+        return RefineResult(
+            success=success,
+            refined_pose=Pose(
+                t=jnp.where(success, refined.t, raw_pose.t),
+                q=jnp.where(success, refined.q, raw_pose.q),
+            ),
+            correction=correction,
+            fitness=icp_res.fitness,
+            nn_found=jnp.sum(nn.found.astype(jnp.int32)),
+            map=final_map,
+        )
+
+    return jax.lax.cond(map_empty, seed, refine, operand=None)

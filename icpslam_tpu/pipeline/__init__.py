@@ -1,1 +1,1 @@
-from icpslam_tpu.pipeline import odometry  # noqa: F401
+from icpslam_tpu.pipeline import odometry, slam  # noqa: F401

@@ -1,0 +1,276 @@
+"""Full SLAM orchestration: odometry → scan-to-map → keyframes → pose graph.
+
+Functional equivalent of the reference's ``IcpSlam`` main loop
+(``/root/reference/src/icpslam/icpslam.cpp:107-189``), collapsed into a
+single pure ``state', out = slam_step(state, scan)`` under jit. Behavioral
+contract (SURVEY.md §7.1), per scan:
+
+1. ICP scan-to-scan odometry with accept gate (front-end, ``pipeline/odometry``)
+2. after the first keyframe: scan-to-map refinement with fallback to the
+   raw transform on failure (``icpslam.cpp:135-140``)
+3. keyframe gate at ``keyframe_distance`` meters (``:143``; gated on
+   distance since the last *keyframe* — the sane reading of
+   KFS_DIST_THRESH, documented deviation from the per-iteration gate)
+4. keyframe → graph node at ``map_to_odom ∘ pose_in_odom`` (``:76-77``)
+   plus a sequential edge with the ICP information matrix (``:82-84``)
+5. loop closures: radius + id-gap proposal verified by ICP between
+   keyframe clouds — the feature the reference *intends* (README.md:14-20,
+   ``loop_information_matrix`` loaded at ``icpslam.cpp:33-36``) but never
+   wires up; implemented properly here (SURVEY.md §7.4)
+6. every ``keyframes_window`` keyframes: optimize the graph (``:149-151``),
+   reset the map (``:170``), recompute ``map→odom`` as
+   ``graph_estimate ∘ pose_in_odom⁻¹`` (``:91-98``)
+
+Wheel-odometry bootstrap (``:178-184``) is exposed as ``bootstrap_pose``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from icpslam_tpu.cloud import pointcloud as pc
+from icpslam_tpu.config import SlamConfig
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.graph import keyframes as kf
+from icpslam_tpu.graph import pose_graph as pg
+from icpslam_tpu.mapping import scan_to_map
+from icpslam_tpu.mapping import voxel_map as vm
+from icpslam_tpu.ops import icp as icp_ops
+from icpslam_tpu.pipeline import odometry as odo
+
+
+class SlamState(NamedTuple):
+    odom: odo.OdometryState
+    map: vm.VoxelMap
+    keyframes: kf.KeyframeStore
+    edges: pg.EdgeSet
+    map_to_odom: Pose          # map ← odom correction (``:91-98``)
+    slam_pose: Pose            # current (refined) pose in odom frame
+    kf_since_opt: jnp.ndarray  # int32 keyframes since last optimization
+    num_optimizations: jnp.ndarray
+    num_loop_closures: jnp.ndarray
+    stamp: jnp.ndarray         # float32 running scan timestamp
+
+
+class SlamOutput(NamedTuple):
+    odom_out: odo.OdometryOutput
+    pose_map: Pose             # current pose in the map frame
+    refined: jnp.ndarray       # bool: scan-to-map refinement succeeded
+    new_keyframe: jnp.ndarray  # bool
+    keyframe_index: jnp.ndarray
+    loop_closure: jnp.ndarray  # bool: a loop edge was added this step
+    optimized: jnp.ndarray     # bool: graph optimization ran this step
+    graph_cost: jnp.ndarray    # final cost of the last optimization (inf before)
+    map_size: jnp.ndarray
+    num_keyframes: jnp.ndarray
+
+
+def init_state(config: SlamConfig, initial_pose: Optional[Pose] = None) -> SlamState:
+    return SlamState(
+        odom=odo.init_state(config, initial_pose),
+        map=vm.empty_map(config.max_map_points),
+        keyframes=kf.empty(config.max_keyframes, config.max_points),
+        edges=pg.empty_edges(config.max_edges),
+        map_to_odom=se3.identity(),
+        slam_pose=initial_pose if initial_pose is not None else se3.identity(),
+        kf_since_opt=jnp.asarray(0, jnp.int32),
+        num_optimizations=jnp.asarray(0, jnp.int32),
+        num_loop_closures=jnp.asarray(0, jnp.int32),
+        stamp=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def bootstrap_pose(state: SlamState, pose: Pose) -> SlamState:
+    """Seed the odometer from external (wheel) odometry — the reference's
+    bootstrap branch (``icpslam.cpp:178-184``)."""
+    return state._replace(odom=odo.set_initial_pose(state.odom, pose), slam_pose=pose)
+
+
+def _information(diag: tuple) -> jnp.ndarray:
+    return jnp.diag(jnp.asarray(diag, jnp.float32))
+
+
+def _try_loop_closure(
+    state: SlamState, new_idx: jnp.ndarray, new_pose_graph: Pose, config: SlamConfig
+) -> Tuple[pg.EdgeSet, jnp.ndarray]:
+    """Propose + verify one loop closure for the newly added keyframe.
+
+    Proposal: nearest older keyframe (graph pose) within
+    ``loop_closure_radius`` with id gap ≥ ``loop_closure_min_id_gap``
+    (the reference's marker heuristic |id₁−id₂| > 2, ``icpslam.cpp:263``).
+    Verification: point-to-point ICP between the stored keyframe clouds.
+    """
+    store = state.keyframes
+    K = store.capacity
+    ids = jnp.arange(K, dtype=jnp.int32)
+    live = ids < store.count
+    gap_ok = (new_idx - ids) >= config.loop_closure_min_id_gap
+    d = jnp.linalg.norm(store.pose_graph.t - new_pose_graph.t[None, :], axis=-1)
+    cand_mask = live & gap_ok
+    d = jnp.where(cand_mask, d, jnp.inf)
+    cand = jnp.argmin(d).astype(jnp.int32)
+    has_cand = jnp.isfinite(d[cand]) & (d[cand] <= config.loop_closure_radius)
+
+    def verify(_):
+        cand_cloud = pc.PointCloud(points=store.points[cand], mask=store.point_mask[cand])
+        new_cloud = pc.PointCloud(
+            points=store.points[new_idx], mask=store.point_mask[new_idx]
+        )
+        # initial guess from current graph estimates
+        cand_pose = se3.index(store.pose_graph, cand)
+        init = se3.relative(cand_pose, new_pose_graph)
+        icfg = dataclasses.replace(config.icp_mapping, mode="point")
+        res = icp_ops.icp(new_cloud, cand_cloud, icfg, init=init)
+        ok = res.converged & (res.fitness < config.icp_mapping.fitness_threshold)
+        edges = pg.add_edge(
+            state.edges,
+            cand,
+            new_idx,
+            res.pose,
+            _information(config.loop_information),
+            enable=ok,
+        )
+        return edges, ok
+
+    def no(_):
+        return state.edges, jnp.asarray(False)
+
+    return jax.lax.cond(has_cand, verify, no, operand=None)
+
+
+def _optimize(state: SlamState, config: SlamConfig) -> Tuple[SlamState, jnp.ndarray]:
+    """Run the windowed graph optimization + map reset (``:168-171``)."""
+    store = state.keyframes
+    mask = store.valid_mask()
+    opt_nodes, stats = pg.optimize(
+        store.pose_graph,
+        state.edges,
+        mask,
+        iterations=config.graph_solver_iterations,
+        mode=config.graph_solver,
+    )
+    new_store = kf.set_graph_poses(store, opt_nodes)
+    # map→odom = last_kf.graph ∘ last_kf.odom⁻¹ (``:91-98``)
+    m2o = se3.compose(kf.latest(new_store), se3.inverse(kf.latest_odom(new_store)))
+    new_map = vm.reset(state.map) if config.reset_map_on_optimize else state.map
+    return (
+        state._replace(
+            keyframes=new_store,
+            map=new_map,
+            map_to_odom=se3.normalize(m2o),
+            kf_since_opt=jnp.asarray(0, jnp.int32),
+            num_optimizations=state.num_optimizations + 1,
+        ),
+        stats.final_cost,
+    )
+
+
+def slam_step(
+    state: SlamState, raw_scan: pc.PointCloud, config: SlamConfig
+) -> Tuple[SlamState, SlamOutput]:
+    """Process one raw sensor-frame scan through the full pipeline.
+
+    Jit with ``static_argnums=(2,)``.
+    """
+    # ---- 1. front-end odometry -------------------------------------------
+    odom_state, oout = odo.odometry_step(state.odom, raw_scan, config)
+    state = state._replace(odom=odom_state, stamp=state.stamp + 1.0)
+
+    # slam-level pose advances by the accepted odometry transform
+    raw_pose = se3.normalize(se3.compose(state.slam_pose, oout.transform))
+
+    # ---- 2. scan-to-map refinement (after first keyframe, ``:135``) ------
+    have_kf = state.keyframes.count > 0
+    do_refine = oout.processed & oout.accepted & have_kf
+
+    def with_refine(_):
+        r = scan_to_map.refine_and_grow(state.map, oout.filtered, raw_pose, config)
+        return r.map, r.refined_pose, r.success
+
+    def without_refine(_):
+        return state.map, raw_pose, jnp.asarray(False)
+
+    new_map, slam_pose, refined = jax.lax.cond(
+        do_refine, with_refine, without_refine, operand=None
+    )
+    state = state._replace(map=new_map, slam_pose=slam_pose)
+
+    # ---- 3. keyframe gate (``:143``) -------------------------------------
+    moved = se3.distance_translation(slam_pose, kf.latest_odom(state.keyframes))
+    first_kf = (state.keyframes.count == 0) & (oout.processed | state.odom.initialized)
+    # a keyframe requires a real scan: bootstrap scan counts for the first one
+    scan_ready = state.odom.initialized
+    want_kf = scan_ready & (first_kf | (oout.accepted & (moved > config.keyframe_distance)))
+    room = state.keyframes.count < state.keyframes.capacity
+    want_kf = want_kf & room
+
+    def add_keyframe(_):
+        node_pose = se3.normalize(se3.compose(state.map_to_odom, slam_pose))
+        prev_idx = jnp.maximum(state.keyframes.count - 1, 0)
+        prev_odom = kf.latest_odom(state.keyframes)
+        store2, new_idx = kf.add(
+            state.keyframes, slam_pose, node_pose, oout.filtered, state.stamp
+        )
+        # sequential edge from odometry (``:82-84``), skipped for the first kf
+        rel = se3.relative(prev_odom, slam_pose)
+        not_first = state.keyframes.count > 0
+        edges2 = pg.add_edge(
+            state.edges,
+            prev_idx,
+            new_idx,
+            rel,
+            _information(config.icp_information),
+            enable=not_first,
+        )
+        st = state._replace(
+            keyframes=store2,
+            edges=edges2,
+            kf_since_opt=state.kf_since_opt + 1,
+        )
+        # loop closure proposal for this keyframe
+        if config.enable_loop_closure:
+            edges3, lc = _try_loop_closure(st, new_idx, node_pose, config)
+            st = st._replace(
+                edges=edges3, num_loop_closures=st.num_loop_closures + lc.astype(jnp.int32)
+            )
+        else:
+            lc = jnp.asarray(False)
+        return st, new_idx, lc
+
+    def no_keyframe(_):
+        return state, jnp.asarray(-1, jnp.int32), jnp.asarray(False)
+
+    state, kf_idx, loop_added = jax.lax.cond(
+        want_kf, add_keyframe, no_keyframe, operand=None
+    )
+
+    # ---- 4. windowed optimization (``:149-151, 168-171``) ----------------
+    do_opt = want_kf & (state.kf_since_opt >= config.keyframes_window)
+
+    def with_opt(st):
+        return _optimize(st, config)
+
+    def no_opt(st):
+        return st, jnp.asarray(jnp.inf, jnp.float32)
+
+    state, opt_cost = jax.lax.cond(do_opt, with_opt, no_opt, state)
+
+    pose_map = se3.normalize(se3.compose(state.map_to_odom, state.slam_pose))
+    out = SlamOutput(
+        odom_out=oout,
+        pose_map=pose_map,
+        refined=refined,
+        new_keyframe=want_kf,
+        keyframe_index=kf_idx,
+        loop_closure=loop_added,
+        optimized=do_opt,
+        graph_cost=opt_cost,
+        map_size=state.map.size,
+        num_keyframes=state.keyframes.count,
+    )
+    return state, out

@@ -1,0 +1,101 @@
+"""End-to-end SLAM pipeline test on a synthetic loop: keyframe cadence,
+windowed optimization, loop closure, map reset/regrow, trajectory bounds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icpslam_tpu.config import IcpConfig, tiny_config
+from icpslam_tpu.eval import metrics
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.io import synthetic
+from icpslam_tpu.pipeline import slam
+
+
+def slam_cfg(**over):
+    base = dict(
+        voxel_leaf_size=0.3,
+        map_resolution=0.3,
+        icp_odometry=IcpConfig(mode="plane", max_iterations=10),
+        icp_mapping=IcpConfig(mode="point", max_iterations=20),
+        max_points=1024,
+        max_raw_points=2048,
+        max_map_points=16384,
+        max_keyframes=64,
+        max_edges=256,
+        keyframe_distance=0.3,
+        keyframes_window=4,
+        loop_closure_radius=3.0,
+        loop_closure_min_id_gap=8,
+    )
+    base.update(over)
+    return tiny_config(**base)
+
+
+def run(cfg, laps=1.25, n_poses=40, seed=0):
+    world = synthetic.make_room_world(seed=seed, n_points=12000)
+    gt = synthetic.make_loop_trajectory(n_poses=n_poses, radius=5.0, laps=laps)
+    step = jax.jit(slam.slam_step, static_argnums=(2,))
+    state = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+    outs = []
+    for scan in synthetic.scan_stream(
+        world, gt, capacity=cfg.max_raw_points, max_range=12.0,
+        n_points=1200, noise=0.01, seed=seed,
+    ):
+        state, out = step(state, scan, cfg)
+        outs.append(out)
+    return state, outs, gt
+
+
+class TestSlamPipeline:
+    def test_full_loop(self):
+        cfg = slam_cfg()
+        state, outs, gt = run(cfg)
+
+        n_kf = int(state.keyframes.count)
+        assert n_kf >= 10, n_kf
+        # optimization cadence: every keyframes_window keyframes
+        n_opt = int(state.num_optimizations)
+        assert n_opt >= (n_kf // cfg.keyframes_window) - 1, (n_kf, n_opt)
+        # optimize steps reported a finite graph cost
+        opt_costs = [float(o.graph_cost) for o in outs if bool(o.optimized)]
+        assert len(opt_costs) == n_opt
+        assert all(np.isfinite(c) for c in opt_costs)
+
+        # loop closure fires when the trajectory revisits the start (1.25 laps)
+        assert int(state.num_loop_closures) >= 1
+
+        # map grows between optimizations and is reset by them
+        sizes = [int(o.map_size) for o in outs]
+        assert max(sizes) > 0
+        # a step that optimized ends with a freshly reset (empty) map
+        opt_steps = [i for i, o in enumerate(outs) if bool(o.optimized)]
+        assert all(sizes[i] == 0 for i in opt_steps)
+
+        # trajectory bound (map frame)
+        est = se3.stack([o.pose_map for o in outs])
+        ate_rmse, _ = metrics.ate(est, gt, align=False)
+        assert ate_rmse < 0.6, ate_rmse
+
+    def test_no_loop_closure_without_revisit(self):
+        cfg = slam_cfg()
+        state, outs, gt = run(cfg, laps=0.5, n_poses=16, seed=1)
+        assert int(state.num_loop_closures) == 0
+
+    def test_keyframe_spacing(self):
+        cfg = slam_cfg(keyframe_distance=1.0)
+        state, outs, gt = run(cfg, laps=0.75, n_poses=24, seed=2)
+        n_kf = int(state.keyframes.count)
+        # ~18.8m traveled at ≥1.0m spacing → strictly fewer keyframes than scans
+        assert 3 <= n_kf < 24
+        # keyframe odometry poses are spaced by at least the gate distance
+        t = np.asarray(state.keyframes.pose_odom.t)[:n_kf]
+        gaps = np.linalg.norm(np.diff(t, axis=0), axis=-1)
+        assert (gaps > 0.8).all(), gaps
+
+    def test_map_reset_contract_disabled(self):
+        cfg = slam_cfg(reset_map_on_optimize=False)
+        state, outs, gt = run(cfg, laps=0.6, n_poses=16, seed=3)
+        sizes = [int(o.map_size) for o in outs]
+        # without resets the map never shrinks
+        assert all(b >= a for a, b in zip(sizes, sizes[1:]))

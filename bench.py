@@ -1,0 +1,103 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline: GICP scan-to-scan odometry throughput (scans/sec) through the
+full jitted odometry step — voxel filter + covariance estimation + 10-iter
+plane-to-plane ICP — at KITTI-like sizes (raw scans ~32k points, ~8k
+voxel-filtered), on whatever device JAX selects (the real TPU chip under
+the driver; CPU with --cpu).
+
+``vs_baseline`` compares against the reference operating point: PCL GICP
+at 10 iterations on clouds this size runs at roughly 10 scans/s on a
+desktop CPU core (no published numbers exist — BASELINE.md documents that
+the baseline must be established; 10 scans/s is the conservative estimate
+the ≥10x target in BASELINE.json is measured against).
+
+Usage: python bench.py [--cpu] [--scans N] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+REFERENCE_SCANS_PER_SEC = 10.0  # documented estimate for PCL GICP, see above
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--scans", type=int, default=30, help="timed scans")
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        # env vars are too late once sitecustomize registered the TPU
+        # plugin; the config API still switches the platform.
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from icpslam_tpu.cloud import pointcloud as pc
+    from icpslam_tpu.config import IcpConfig, SlamConfig
+    from icpslam_tpu.geometry import se3
+    from icpslam_tpu.io import synthetic
+    from icpslam_tpu.pipeline import odometry
+
+    dev = jax.devices()[0]
+    if not args.json_only:
+        print(f"# device: {dev}", file=sys.stderr)
+
+    cfg = SlamConfig(
+        voxel_leaf_size=0.2,
+        icp_odometry=IcpConfig(mode="plane", max_iterations=10),
+        max_points=8192,
+        max_raw_points=32768,
+    )
+
+    # KITTI-like synthetic stream: big room, ~32k-point scans
+    world = synthetic.make_room_world(seed=0, n_points=200000, size=40.0, height=4.0)
+    gt = synthetic.make_loop_trajectory(
+        n_poses=args.warmup + args.scans, radius=12.0, laps=0.5
+    )
+    scans = [
+        jax.device_put(s, dev)
+        for s in synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, max_range=25.0,
+            n_points=30000, noise=0.02, seed=0,
+        )
+    ]
+
+    step = jax.jit(odometry.odometry_step, static_argnums=(2,), donate_argnums=(0,))
+    state = jax.device_put(odometry.init_state(cfg, se3.index(gt, 0)), dev)
+
+    # warmup / compile
+    for i in range(args.warmup):
+        state, out = step(state, scans[i], cfg)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    n_acc = 0
+    for i in range(args.warmup, args.warmup + args.scans):
+        state, out = step(state, scans[i], cfg)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = args.scans / dt
+    result = {
+        "metric": "gicp_odometry_scans_per_sec",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

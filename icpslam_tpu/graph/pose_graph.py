@@ -125,17 +125,14 @@ def _edge_jacobians(nodes: Pose, edges: EdgeSet):
     return jax.vmap(one_edge)(edges.i, edges.j, edges.rel_t, edges.rel_q)
 
 
-def normal_equations(
-    nodes: Pose,
-    edges: EdgeSet,
-    node_mask: jnp.ndarray,
-    anchor_weight: float = 1e6,
+def edge_contributions(
+    nodes: Pose, edges: EdgeSet
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Assemble the (K,6,K,6) block Hessian and (K,6) gradient.
+    """Edge-only part of the normal equations: (K,6,K,6) H and (K,6) b.
 
-    Invalid edges contribute zero (their Ω is masked); dead nodes get an
-    identity diagonal so the dense factorization stays well-posed; node 0
-    is anchored with a strong prior.
+    Pure sum over edges — this is the piece the distributed solver shards
+    across devices and ``psum``s (``parallel/dist_graph.py``); invalid
+    edges contribute zero.
     """
     K = nodes.t.shape[0]
     r, Ji, Jj = _edge_jacobians(nodes, edges)
@@ -162,16 +159,40 @@ def normal_equations(
     b = jnp.zeros((K, 6), nodes.t.dtype)
     b = b.at[edges.i].add(bi)
     b = b.at[edges.j].add(bj)
+    return H, b
 
-    eye6 = jnp.eye(6, dtype=nodes.t.dtype)
+
+def regularize_normal_equations(
+    H: jnp.ndarray,
+    b: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    anchor_weight: float = 1e6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Condition assembled normal equations: dead nodes get an identity
+    diagonal (well-posed factorization), live gradient only, and node 0 is
+    anchored with a strong prior (gauge fix, g2o setFixed analog)."""
+    K = b.shape[0]
+    dtype = b.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
     diag_idx = jnp.arange(K)
     # dead nodes: identity diagonal, zero gradient
-    dead = (~node_mask).astype(nodes.t.dtype)
+    dead = (~node_mask).astype(dtype)
     H = H.at[diag_idx, :, diag_idx, :].add(dead[:, None, None] * eye6)
     b = b * node_mask[:, None]
     # gauge anchor on node 0
     H = H.at[0, :, 0, :].add(anchor_weight * eye6)
     return H, b
+
+
+def normal_equations(
+    nodes: Pose,
+    edges: EdgeSet,
+    node_mask: jnp.ndarray,
+    anchor_weight: float = 1e6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full normal equations: edge contributions + regularization."""
+    H, b = edge_contributions(nodes, edges)
+    return regularize_normal_equations(H, b, node_mask, anchor_weight)
 
 
 def _solve_and_update(nodes, H, b, damping, node_mask):

@@ -1,1 +1,1 @@
-from icpslam_tpu.io import synthetic  # noqa: F401
+from icpslam_tpu.io import synthetic, kitti  # noqa: F401

@@ -1,0 +1,104 @@
+"""KITTI odometry dataset loading.
+
+The reference consumes ROS topics from bag playback; this framework's
+offline equivalent reads the KITTI odometry layout directly:
+
+    <root>/sequences/<seq>/velodyne/000000.bin   float32 x,y,z,reflectance
+    <root>/sequences/<seq>/calib.txt             P0..P3, Tr (velo→cam0)
+    <root>/poses/<seq>.txt                       3x4 cam0 ground-truth poses
+
+Scans are returned in the velodyne frame; ground-truth poses are converted
+to velodyne-frame world poses via ``Tr`` so they compare directly with the
+SLAM trajectory (ATE/RPE in ``eval.metrics``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from icpslam_tpu.cloud import pointcloud as pc
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+
+import jax.numpy as jnp
+
+
+def read_scan(path: str, max_points: Optional[int] = None, min_range: float = 2.5,
+              max_range: float = 80.0, seed: int = 0) -> np.ndarray:
+    """Read one velodyne .bin scan → (n, 3) float32 in the sensor frame.
+
+    Points closer than ``min_range`` (ego returns) or beyond ``max_range``
+    are dropped; optional random subsample to ``max_points``.
+    """
+    raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)[:, :3]
+    r = np.linalg.norm(raw, axis=-1)
+    raw = raw[(r >= min_range) & (r <= max_range)]
+    if max_points is not None and raw.shape[0] > max_points:
+        sel = np.random.RandomState(seed).choice(raw.shape[0], max_points, replace=False)
+        raw = raw[sel]
+    return raw.astype(np.float32)
+
+
+def read_calib(seq_dir: str) -> np.ndarray:
+    """4x4 Tr (cam0 ← velodyne) from calib.txt."""
+    path = os.path.join(seq_dir, "calib.txt")
+    with open(path) as f:
+        for line in f:
+            if line.startswith("Tr"):
+                vals = np.array([float(x) for x in line.split()[1:]], np.float64)
+                tr = np.eye(4)
+                tr[:3, :4] = vals.reshape(3, 4)
+                return tr
+    raise ValueError(f"no Tr entry in {path}")
+
+
+def read_poses(root: str, seq: str) -> np.ndarray:
+    """(N, 4, 4) cam0-frame ground-truth poses from poses/<seq>.txt."""
+    path = os.path.join(root, "poses", f"{seq}.txt")
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    out = np.tile(np.eye(4), (rows.shape[0], 1, 1))
+    out[:, :3, :4] = rows
+    return out
+
+
+def ground_truth_velodyne(root: str, seq: str) -> Pose:
+    """Ground-truth trajectory expressed in the velodyne frame:
+    ``T_w_velo[k] = Tr⁻¹ · T_w_cam[k] · Tr`` (world fixed to velo frame 0)."""
+    seq_dir = os.path.join(root, "sequences", seq)
+    tr = read_calib(seq_dir)
+    cam = read_poses(root, seq)
+    tr_inv = np.linalg.inv(tr)
+    velo = np.einsum("ij,njk,kl->nil", tr_inv, cam, tr)
+    return se3.from_matrix(jnp.asarray(velo, jnp.float32))
+
+
+def scan_files(root: str, seq: str) -> List[str]:
+    d = os.path.join(root, "sequences", seq, "velodyne")
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".bin")
+    )
+
+
+def scan_stream(
+    root: str,
+    seq: str,
+    capacity: int,
+    max_points: Optional[int] = None,
+    start: int = 0,
+    end: Optional[int] = None,
+) -> Iterator[pc.PointCloud]:
+    files = scan_files(root, seq)[start:end]
+    for i, f in enumerate(files):
+        pts = read_scan(f, max_points=max_points or capacity, seed=i)
+        yield pc.from_points(pts, capacity=capacity)
+
+
+def find_dataset(candidates=("/data/kitti", "/root/data/kitti", "./data/kitti")) -> Optional[str]:
+    """Locate a KITTI odometry root if one is mounted; None otherwise."""
+    for c in candidates:
+        if os.path.isdir(os.path.join(c, "sequences")):
+            return c
+    return None

@@ -1,0 +1,193 @@
+"""Host-side runner + CLI: stream scans through the jitted SLAM pipeline.
+
+The process/entry layer replacing the reference's ROS node + launch file
+(``/root/reference/src/icpslam_node.cpp``, ``launch/icpslam.launch``):
+instead of topics and an AsyncSpinner, a host loop feeds padded scans into
+``slam_step`` and collects structured per-scan metrics (SURVEY.md §5.5).
+
+    python -m icpslam_tpu.io.runner --synthetic --poses 40 --out traj.npz
+    python -m icpslam_tpu.io.runner --kitti /data/kitti --seq 04
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+from icpslam_tpu.cloud import pointcloud as pc
+from icpslam_tpu.config import IcpConfig, SlamConfig
+from icpslam_tpu.eval import metrics
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.pipeline import slam
+from icpslam_tpu.utils.logging import Logger
+
+
+@dataclasses.dataclass
+class RunResult:
+    trajectory: Pose           # (T,) map-frame pose per scan
+    per_scan: List[dict]       # structured metrics per scan
+    state: slam.SlamState
+    wall_time: float
+
+
+def run_slam(
+    scans: Iterable[pc.PointCloud],
+    config: SlamConfig,
+    initial_pose: Optional[Pose] = None,
+    logger: Optional[Logger] = None,
+) -> RunResult:
+    """Drive the jitted pipeline over a scan stream."""
+    log = logger or Logger(level=config.verbosity)
+    step = jax.jit(slam.slam_step, static_argnums=(2,))
+    state = slam.init_state(config, initial_pose)
+    poses = []
+    per_scan = []
+    t0 = time.perf_counter()
+    for i, scan in enumerate(scans):
+        state, out = step(state, scan, config)
+        poses.append(out.pose_map)
+        rec = {
+            "scan": i,
+            "accepted": bool(out.odom_out.accepted),
+            "fitness": float(out.odom_out.fitness),
+            "correspondences": int(out.odom_out.num_correspondences),
+            "icp_iterations": int(out.odom_out.iterations),
+            "refined": bool(out.refined),
+            "new_keyframe": bool(out.new_keyframe),
+            "loop_closure": bool(out.loop_closure),
+            "optimized": bool(out.optimized),
+            "map_size": int(out.map_size),
+            "num_keyframes": int(out.num_keyframes),
+        }
+        per_scan.append(rec)
+        log.debug(f"scan {i}: {rec}")
+        if rec["optimized"]:
+            log.info(
+                f"scan {i}: optimized graph ({rec['num_keyframes']} keyframes, "
+                f"cost {float(out.graph_cost):.4f})"
+            )
+    wall = time.perf_counter() - t0
+    return RunResult(
+        trajectory=se3.stack(poses), per_scan=per_scan, state=state, wall_time=wall
+    )
+
+
+def _build_config(args) -> SlamConfig:
+    return SlamConfig(
+        voxel_leaf_size=args.voxel,
+        map_resolution=args.map_resolution,
+        icp_odometry=IcpConfig(mode=args.icp_mode, max_iterations=10),
+        icp_mapping=IcpConfig(mode="point", max_iterations=30),
+        num_clouds_skip=args.skip,
+        max_points=args.max_points,
+        max_raw_points=args.max_raw_points,
+        max_map_points=args.max_map_points,
+        max_keyframes=args.max_keyframes,
+        max_edges=args.max_keyframes * 4,
+        keyframe_distance=args.keyframe_distance,
+        keyframes_window=args.window,
+        verbosity=args.verbosity,
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--synthetic", action="store_true")
+    src.add_argument("--kitti", type=str, help="KITTI odometry root")
+    ap.add_argument("--seq", type=str, default="04")
+    ap.add_argument("--poses", type=int, default=40, help="synthetic trajectory length")
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--end", type=int, default=None)
+    ap.add_argument("--voxel", type=float, default=0.2)
+    ap.add_argument("--map-resolution", type=float, default=0.2)
+    ap.add_argument("--icp-mode", choices=["point", "plane"], default="plane")
+    ap.add_argument("--skip", type=int, default=0)
+    ap.add_argument("--keyframe-distance", type=float, default=0.3)
+    ap.add_argument("--window", type=int, default=4)
+    ap.add_argument("--max-points", type=int, default=8192)
+    ap.add_argument("--max-raw-points", type=int, default=131072)
+    ap.add_argument("--max-map-points", type=int, default=262144)
+    ap.add_argument("--max-keyframes", type=int, default=512)
+    ap.add_argument("--verbosity", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", type=str, default=None, help="write trajectory .npz")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = _build_config(args)
+    log = Logger(level=args.verbosity)
+    gt = None
+
+    if args.synthetic:
+        from icpslam_tpu.io import synthetic
+
+        world = synthetic.make_room_world(seed=0, n_points=40000)
+        gt = synthetic.make_loop_trajectory(n_poses=args.poses, radius=5.0, laps=1.25)
+        scans = synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, max_range=12.0,
+            n_points=4000, noise=0.01,
+        )
+        init = se3.index(gt, 0)
+    else:
+        from icpslam_tpu.io import kitti
+
+        scans = kitti.scan_stream(
+            args.kitti, args.seq, capacity=cfg.max_raw_points,
+            start=args.start, end=args.end,
+        )
+        try:
+            gt_all = kitti.ground_truth_velodyne(args.kitti, args.seq)
+            gt = Pose(
+                t=gt_all.t[args.start:args.end], q=gt_all.q[args.start:args.end]
+            )
+        except (FileNotFoundError, OSError):
+            log.warn("no ground-truth poses found; skipping ATE")
+        init = None
+
+    res = run_slam(scans, cfg, initial_pose=init, logger=log)
+    n = res.trajectory.t.shape[0]
+    log.info(f"processed {n} scans in {res.wall_time:.2f}s "
+             f"({n / res.wall_time:.2f} scans/s incl. compile)")
+
+    summary = {
+        "scans": n,
+        "wall_time_s": round(res.wall_time, 3),
+        "keyframes": int(res.state.keyframes.count),
+        "loop_closures": int(res.state.num_loop_closures),
+        "optimizations": int(res.state.num_optimizations),
+        "map_size": int(res.state.map.size),
+        "map_overflow": int(res.state.map.overflow),
+    }
+    if gt is not None and gt.t.shape[0] == n:
+        ate_rmse, _ = metrics.ate(res.trajectory, gt, align=True)
+        t_rpe, r_rpe = metrics.rpe(res.trajectory, gt)
+        summary.update(
+            ate_m=round(ate_rmse, 4), rpe_t=round(t_rpe, 4), rpe_r=round(r_rpe, 5)
+        )
+    print(json.dumps(summary))
+
+    if args.out:
+        np.savez(
+            args.out,
+            t=np.asarray(res.trajectory.t),
+            q=np.asarray(res.trajectory.q),
+            **({"gt_t": np.asarray(gt.t), "gt_q": np.asarray(gt.q)} if gt is not None else {}),
+        )
+        log.info(f"wrote trajectory to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,1 @@
+from icpslam_tpu.parallel import mesh, dist_graph, dist_step, sharded_nn  # noqa: F401

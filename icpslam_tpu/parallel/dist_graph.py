@@ -1,0 +1,122 @@
+"""Distributed pose-graph Gauss-Newton: edge-sharded assembly over a mesh.
+
+The reference's back-end is one sequential g2o solve
+(``/root/reference/src/icpslam/icpslam.cpp:171``). Here the expensive part
+— per-edge residual/Jacobian evaluation and block scatter-assembly — is
+sharded across devices by *edge* (each device owns E/D edges), and the
+partial normal equations are reduced with ``psum`` over ICI inside
+``shard_map``. The regularized solve then runs replicated on every device
+(the 6K×6K factorization is cheap relative to edge work for keyframe-scale
+graphs; a Schur-complement block split is the planned next stage).
+
+Numerically identical to the single-device solver — asserted by tests on
+an 8-virtual-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.graph import pose_graph as pg
+
+
+def _shardable_edges(edges: pg.EdgeSet, n_shards: int) -> pg.EdgeSet:
+    """Pad edge arrays so the capacity divides the shard count (padding
+    entries are invalid and contribute zero)."""
+    E = edges.capacity
+    Ep = (E + n_shards - 1) // n_shards * n_shards
+    if Ep == E:
+        return edges
+    pad = Ep - E
+    return pg.EdgeSet(
+        i=jnp.pad(edges.i, (0, pad)),
+        j=jnp.pad(edges.j, (0, pad)),
+        rel_t=jnp.pad(edges.rel_t, ((0, pad), (0, 0))),
+        rel_q=jnp.pad(edges.rel_q, ((0, pad), (0, 0)), constant_values=0).at[E:, 0].set(1.0),
+        info=jnp.pad(edges.info, ((0, pad), (0, 0), (0, 0))),
+        valid=jnp.pad(edges.valid, (0, pad)),
+        count=edges.count,
+    )
+
+
+def sharded_edge_contributions(
+    nodes: Pose, edges: pg.EdgeSet, mesh: Mesh, axis: str = "dp"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(K,6,K,6) H and (K,6) b assembled from device-sharded edges.
+
+    Nodes are replicated; each device evaluates Jacobians for its edge
+    shard and the partial H/b are psum-reduced across the mesh.
+    """
+    n = mesh.shape[axis]
+    ep = _shardable_edges(edges, n)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),                      # nodes (replicated)
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),  # edge arrays
+        ),
+        out_specs=(P(), P()),
+    )
+    def assemble(nt, nq, ei, ej, ert, erq, einfo, evalid):
+        local = pg.EdgeSet(
+            i=ei, j=ej, rel_t=ert, rel_q=erq, info=einfo, valid=evalid,
+            count=jnp.sum(evalid.astype(jnp.int32)),
+        )
+        H, b = pg.edge_contributions(Pose(t=nt, q=nq), local)
+        return jax.lax.psum(H, axis), jax.lax.psum(b, axis)
+
+    return assemble(
+        nodes.t, nodes.q, ep.i, ep.j, ep.rel_t, ep.rel_q, ep.info, ep.valid
+    )
+
+
+def optimize(
+    nodes: Pose,
+    edges: pg.EdgeSet,
+    node_mask: jnp.ndarray,
+    mesh: Mesh,
+    iterations: int = 10,
+    mode: str = "lm",
+    init_damping: float = 1e-4,
+    axis: str = "dp",
+) -> Tuple[Pose, pg.SolveStats]:
+    """Distributed drop-in for ``pose_graph.optimize``."""
+    c0 = pg.graph_cost(nodes, edges)
+
+    def normal_eq(nds):
+        H, b = sharded_edge_contributions(nds, edges, mesh, axis)
+        return pg.regularize_normal_equations(H, b, node_mask)
+
+    if mode == "gn":
+        def body(it, nds):
+            H, b = normal_eq(nds)
+            new, _ = pg._solve_and_update(nds, H, b, 0.0, node_mask)
+            return new
+
+        final = jax.lax.fori_loop(0, iterations, body, nodes)
+        return final, pg.SolveStats(c0, pg.graph_cost(final, edges), jnp.asarray(iterations))
+
+    def body(it, carry):
+        nds, lam, cost = carry
+        H, b = normal_eq(nds)
+        cand, _ = pg._solve_and_update(nds, H, b, lam, node_mask)
+        c_new = pg.graph_cost(cand, edges)
+        accept = c_new < cost
+        nds = jax.tree_util.tree_map(lambda a, b_: jnp.where(accept, a, b_), cand, nds)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(accept, c_new, cost)
+        return nds, lam, cost
+
+    final, _, c_end = jax.lax.fori_loop(
+        0, iterations, body, (nodes, jnp.asarray(init_damping, nodes.t.dtype), c0)
+    )
+    return final, pg.SolveStats(c0, c_end, jnp.asarray(iterations))

@@ -1,0 +1,80 @@
+"""Checkpoint / resume.
+
+The reference has none (SURVEY.md §5.4): all state dies with the process,
+and the map is even discarded at every optimization. Here the durable
+record is exactly what the reference already keeps in memory — keyframes
+(pose + cloud) and the graph — so a checkpoint is the full ``SlamState``
+pytree serialized to a compressed numpy archive, and the map is
+*derivable*: ``rerender_map`` rebuilds it from keyframe clouds at their
+graph poses (fixing the reference's map-goes-blank-after-optimize behavior
+without changing its reset-then-regrow contract).
+
+Works for any pytree of arrays (states, keyframe stores, edge sets);
+leaves are addressed by their tree path, so loading validates structure
+against a template built from the same config.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icpslam_tpu.cloud.pointcloud import PointCloud
+from icpslam_tpu.config import SlamConfig
+from icpslam_tpu.geometry import se3
+
+
+def _leaf_dict(tree: Any) -> dict:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def save(path: str, tree: Any) -> None:
+    """Serialize a pytree of arrays to ``path`` (.npz)."""
+    np.savez_compressed(path, **_leaf_dict(tree))
+
+
+def load(path: str, template: Any) -> Any:
+    """Load a pytree saved with ``save``; ``template`` (e.g.
+    ``slam.init_state(config)``) provides the structure and dtypes."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for keypath, tleaf in flat:
+        key = jax.tree_util.keystr(keypath)
+        if key not in data:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        arr = data[key]
+        texp = np.asarray(tleaf)
+        if arr.shape != texp.shape:
+            raise ValueError(
+                f"checkpoint leaf {key} has shape {arr.shape}, "
+                f"config expects {texp.shape}"
+            )
+        leaves.append(jnp.asarray(arr, dtype=texp.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def rerender_map(state, config: SlamConfig):
+    """Rebuild the voxel map from keyframe clouds at their graph poses.
+
+    Returns a new ``SlamState`` with the regenerated map (used on resume
+    and whenever a full map product is wanted after an optimize-reset).
+    """
+    from icpslam_tpu.mapping import voxel_map as vm
+
+    store = state.keyframes
+    n = int(state.keyframes.count)
+    m = vm.empty_map(config.max_map_points)
+    for k in range(n):
+        cloud = PointCloud(points=store.points[k], mask=store.point_mask[k])
+        pose = se3.index(store.pose_graph, k)
+        world = PointCloud(
+            points=se3.transform_points(pose, cloud.points) * cloud.mask[:, None],
+            mask=cloud.mask,
+        )
+        m = vm.insert(m, world, config.map_resolution)
+    return state._replace(map=m)

@@ -1,0 +1,113 @@
+"""Distributed tests on an 8-virtual-device CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8): sharded solvers must be
+numerically equivalent to their single-device counterparts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icpslam_tpu import cloud as pc
+from icpslam_tpu.config import IcpConfig
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.graph import pose_graph as pg
+from icpslam_tpu.io import synthetic
+from icpslam_tpu.ops import nn as nn_ops
+from icpslam_tpu.parallel import dist_graph, dist_step, mesh as mesh_lib, sharded_nn
+
+from test_graph import build_chain_edges, circle_poses
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return mesh_lib.make_mesh(8)
+
+
+class TestShardedNN:
+    def test_matches_single_device(self, mesh8):
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(128, 3), jnp.float32)
+        t = jnp.asarray(rng.randn(96, 3), jnp.float32)
+        tm = jnp.ones(96, bool)
+        ref = nn_ops.nearest_neighbors(q, t, tm)
+        got = sharded_nn.nearest_neighbors(q, t, tm, mesh8, block=16)
+        np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+        np.testing.assert_allclose(np.asarray(got.dist2), np.asarray(ref.dist2), atol=1e-5)
+
+    def test_indivisible_raises(self, mesh8):
+        with pytest.raises(ValueError):
+            sharded_nn.nearest_neighbors(
+                jnp.zeros((10, 3)), jnp.zeros((8, 3)), jnp.ones(8, bool), mesh8
+            )
+
+
+class TestDistGraph:
+    def test_contributions_match_single_device(self, mesh8):
+        gt = circle_poses(10)
+        edges = build_chain_edges(gt, capacity=16, noise=0.05, seed=0, close_loop=True)
+        noisy = se3.compose(gt, se3.se3_exp(jnp.full((10, 6), 0.03)))
+        H1, b1 = pg.edge_contributions(noisy, edges)
+        H2, b2 = dist_graph.sharded_edge_contributions(noisy, edges, mesh8)
+        np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["gn", "lm"])
+    def test_optimize_matches_single_device(self, mesh8, mode):
+        n = 12
+        gt = circle_poses(n)
+        rng = np.random.RandomState(1)
+        drift = se3.se3_exp(jnp.asarray(np.cumsum(rng.randn(n, 6) * 0.02, 0), jnp.float32))
+        noisy = se3.normalize(se3.compose(gt, drift))
+        edges = build_chain_edges(gt, capacity=16, close_loop=True)
+        mask = jnp.ones(n, bool)
+        ref, rstats = pg.optimize(noisy, edges, mask, iterations=10, mode=mode)
+        got, gstats = dist_graph.optimize(noisy, edges, mask, mesh8, iterations=10, mode=mode)
+        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), atol=1e-3)
+        np.testing.assert_allclose(
+            float(gstats.final_cost), float(rstats.final_cost), rtol=1e-2, atol=1e-5
+        )
+
+
+class TestBatchedStep:
+    def test_chain_poses(self):
+        rel = Pose(
+            t=jnp.broadcast_to(jnp.array([1.0, 0, 0]), (4, 3)),
+            q=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (4, 4)),
+        )
+        nodes = dist_step.chain_poses(rel, se3.identity())
+        np.testing.assert_allclose(
+            np.asarray(nodes.t)[:, 0], [0, 1, 2, 3, 4], atol=1e-6
+        )
+
+    def test_batched_step_runs_sharded(self, mesh8):
+        world = synthetic.make_room_world(seed=0, n_points=8000)
+        gt = synthetic.make_loop_trajectory(n_poses=9, radius=5.0, laps=0.08)
+        scans = [
+            synthetic.render_scan(
+                world, np.asarray(gt.t[i]), np.asarray(gt.q[i]),
+                n_points=600, noise=0.01, seed=i,
+            )
+            for i in range(9)
+        ]
+        clouds = [pc.from_points(s, capacity=1024) for s in scans]
+        src = jnp.stack([c.points for c in clouds[1:]])
+        srcm = jnp.stack([c.mask for c in clouds[1:]])
+        tgt = jnp.stack([c.points for c in clouds[:-1]])
+        tgtm = jnp.stack([c.mask for c in clouds[:-1]])
+
+        step = dist_step.make_batched_step(
+            IcpConfig(mode="point", max_iterations=15), mesh8
+        )
+        res = step(src, srcm, tgt, tgtm)
+        assert res.nodes.t.shape == (9, 3)
+        assert np.isfinite(float(res.final_cost))
+        # chained trajectory should roughly follow ground truth (relative)
+        gt_rel = se3.relative(se3.index(gt, 0), se3.index(gt, 8))
+        est_rel = se3.relative(
+            Pose(t=res.nodes.t[0], q=res.nodes.q[0]),
+            Pose(t=res.nodes.t[8], q=res.nodes.q[8]),
+        )
+        err = float(jnp.linalg.norm(gt_rel.t - est_rel.t))
+        assert err < 0.5, err

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from icpslam_tpu.cloud.pointcloud import PointCloud
 from icpslam_tpu.ops import nn as nn_ops
+from icpslam_tpu.ops.linalg3 import smallest_eigenvector_sym3
 
 
 def gicp_covariances(
@@ -20,14 +21,23 @@ def gicp_covariances(
     k: int = 10,
     epsilon: float = 1e-3,
     block: int = 512,
+    approx: bool = True,
 ) -> jnp.ndarray:
     """GICP-regularized covariances (N, 3, 3) for every point in the cloud.
+
+    Key identity exploited for speed: the GICP regularization
+    ``U diag(ε,1,1) Uᵀ`` depends only on the surface normal n (the
+    smallest eigenvector), since it equals ``I − (1−ε)·n nᵀ``. The normal
+    comes from a closed-form symmetric-3×3 eigen-solve (``ops.linalg3``) —
+    no LAPACK ``eigh`` in the per-scan hot path — and neighbor search uses
+    the TPU-native ``approx_max_k`` by default (exact top-k when
+    ``approx=False``).
 
     Padding points get identity covariances (they are masked out of the
     registration cost anyway).
     """
     pts = cloud.points
-    idx, d2 = nn_ops.knn(pts, pts, cloud.mask, k=k, block=block)
+    idx, d2 = nn_ops.knn(pts, pts, cloud.mask, k=k, block=block, approx=approx)
     valid = jnp.isfinite(d2)  # (N, k): False when < k valid neighbors
 
     neigh = pts[idx]  # (N, k, 3)
@@ -37,13 +47,12 @@ def gicp_covariances(
     centered = (neigh - mean[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", centered, centered) / count[..., None]
 
-    # Eigen-regularize: replace eigenvalues (ascending) with (ε, 1, 1).
-    eigvals, eigvecs = jnp.linalg.eigh(cov)
-    reg = jnp.asarray([epsilon, 1.0, 1.0], dtype=pts.dtype)
-    cov_reg = jnp.einsum("nij,j,nkj->nik", eigvecs, reg, eigvecs)
+    # Regularized covariance I − (1−ε) n nᵀ from the patch normal.
+    normal = smallest_eigenvector_sym3(cov)
+    eye = jnp.eye(3, dtype=pts.dtype)
+    cov_reg = eye - (1.0 - epsilon) * jnp.einsum("ni,nj->nij", normal, normal)
 
     # Degenerate points (too few neighbors) → identity covariance.
     enough = jnp.sum(valid, axis=-1) >= 3
-    eye = jnp.eye(3, dtype=pts.dtype)
     cov_reg = jnp.where(enough[:, None, None] & cloud.mask[:, None, None], cov_reg, eye)
     return cov_reg

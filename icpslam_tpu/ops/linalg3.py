@@ -61,3 +61,62 @@ def solve_psd(H: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> jnp.ndarr
 
 def symmetrize(m: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (m + jnp.swapaxes(m, -1, -2))
+
+
+def eigvals_sym3(A: jnp.ndarray) -> jnp.ndarray:
+    """Analytic eigenvalues of symmetric (..., 3, 3), ascending (..., 3).
+
+    Trigonometric Cardano solution — pure VPU elementwise math, orders of
+    magnitude faster than LAPACK-style ``eigh`` for large batches of tiny
+    matrices (the GICP covariance path runs this on every point).
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    d0, d1, d2 = a00 - q, a11 - q, a22 - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    small = p2 < 1e-20
+    p = jnp.sqrt(jnp.where(small, 1.0, p2) / 6.0)
+    pinv = jnp.where(small, 0.0, 1.0 / p)
+    # det((A - qI)/p) / 2
+    b00, b11, b22 = d0 * pinv, d1 * pinv, d2 * pinv
+    b01, b02, b12 = a01 * pinv, a02 * pinv, a12 * pinv
+    detB = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(0.5 * detB, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    return jnp.stack([e_lo, e_mid, e_hi], axis=-1)
+
+
+def smallest_eigenvector_sym3(
+    A: jnp.ndarray, fallback: tuple = (0.0, 0.0, 1.0)
+) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric (..., 3, 3).
+
+    Null-space extraction via row cross products of ``A − λ_min I`` (the
+    best-conditioned of the three row pairs). Near-isotropic matrices have
+    no well-defined direction; those fall back to ``fallback`` — harmless
+    for GICP, where an isotropic patch carries no plane constraint anyway.
+    """
+    lam = eigvals_sym3(A)[..., 0]
+    M = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    cands = jnp.stack([c01, c02, c12], axis=-2)  # (..., 3, 3)
+    norms = jnp.linalg.norm(cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    ok = n[..., 0] > 1e-10
+    fb = jnp.asarray(fallback, dtype=A.dtype)
+    v = jnp.where(ok[..., None], v / jnp.where(ok[..., None], n, 1.0), fb)
+    return v

@@ -75,8 +75,13 @@ def knn(
     target_mask: jnp.ndarray,
     k: int,
     block: int = 512,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact k-NN: returns (idx (N, k) int32, dist2 (N, k)).
+    """k-NN: returns (idx (N, k) int32, dist2 (N, k)).
+
+    ``approx=True`` uses ``jax.lax.approx_max_k`` — the TPU-native
+    approximate top-k (recall ~0.95+), appropriate for statistics like
+    GICP covariance neighborhoods. Exact ``top_k`` otherwise.
 
     Invalid targets sort last with +inf distance; if fewer than k valid
     targets exist the trailing neighbors have inf dist2 (callers mask).
@@ -93,7 +98,10 @@ def knn(
     def one_block(qb):
         cross = jnp.dot(qb, tT, preferred_element_type=jnp.float32)
         d2 = jnp.sum(qb * qb, axis=-1)[:, None] - 2.0 * cross + t_norm2[None, :]
-        neg_top, idx = jax.lax.top_k(-d2, k)
+        if approx:
+            neg_top, idx = jax.lax.approx_max_k(-d2, k)
+        else:
+            neg_top, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg_top
 
     idxs, d2s = jax.lax.map(one_block, qblocks)

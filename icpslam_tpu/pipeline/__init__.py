@@ -1,1 +1,1 @@
-from icpslam_tpu.pipeline import odometry, slam  # noqa: F401
+from icpslam_tpu.pipeline import odometry, robot_odometry, slam  # noqa: F401

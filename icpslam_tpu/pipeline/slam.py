@@ -42,10 +42,14 @@ from icpslam_tpu.mapping import scan_to_map
 from icpslam_tpu.mapping import voxel_map as vm
 from icpslam_tpu.ops import icp as icp_ops
 from icpslam_tpu.pipeline import odometry as odo
+from icpslam_tpu.pipeline import robot_odometry as robot_odo
 
 
 class SlamState(NamedTuple):
     odom: odo.OdometryState
+    robot_odom: robot_odo.RobotOdometryState
+    wheel_at_last_kf: Pose     # wheel-odom pose captured at the last keyframe
+    wheel_kf_valid: jnp.ndarray  # bool: wheel_at_last_kf is meaningful
     map: vm.VoxelMap
     keyframes: kf.KeyframeStore
     edges: pg.EdgeSet
@@ -73,6 +77,9 @@ class SlamOutput(NamedTuple):
 def init_state(config: SlamConfig, initial_pose: Optional[Pose] = None) -> SlamState:
     return SlamState(
         odom=odo.init_state(config, initial_pose),
+        robot_odom=robot_odo.init_state(),
+        wheel_at_last_kf=se3.identity(),
+        wheel_kf_valid=jnp.asarray(False),
         map=vm.empty_map(config.max_map_points),
         keyframes=kf.empty(config.max_keyframes, config.max_points),
         edges=pg.empty_edges(config.max_edges),
@@ -89,6 +96,38 @@ def bootstrap_pose(state: SlamState, pose: Pose) -> SlamState:
     """Seed the odometer from external (wheel) odometry — the reference's
     bootstrap branch (``icpslam.cpp:178-184``)."""
     return state._replace(odom=odo.set_initial_pose(state.odom, pose), slam_pose=pose)
+
+
+def ingest_wheel_odometry(
+    state: SlamState,
+    raw_pose: Pose,
+    config: SlamConfig,
+    covariance: jnp.ndarray | None = None,
+) -> SlamState:
+    """Feed one external odometry message into the pipeline.
+
+    Mirrors the reference's RobotOdometer callback + main-loop bootstrap:
+    the offset-removed pose seeds the ICP odometer while it has no scans
+    yet (``icpslam.cpp:178-184``); afterwards the stream is retained for
+    wheel-odometry graph edges (``enable_wheel_odom_edges``).
+    """
+    ro_state, out = robot_odo.robot_odometry_step(
+        state.robot_odom, raw_pose, config, covariance
+    )
+    state = state._replace(robot_odom=ro_state)
+    # bootstrap the scan odometer until its first scan arrives
+    need_bootstrap = ~state.odom.initialized
+    new_pose = Pose(
+        t=jnp.where(need_bootstrap, out.pose.t, state.odom.pose.t),
+        q=jnp.where(need_bootstrap, out.pose.q, state.odom.pose.q),
+    )
+    slam_pose = Pose(
+        t=jnp.where(need_bootstrap, out.pose.t, state.slam_pose.t),
+        q=jnp.where(need_bootstrap, out.pose.q, state.slam_pose.q),
+    )
+    return state._replace(
+        odom=state.odom._replace(pose=new_pose), slam_pose=slam_pose
+    )
 
 
 def _information(diag: tuple) -> jnp.ndarray:
@@ -227,10 +266,29 @@ def slam_step(
             _information(config.icp_information),
             enable=not_first,
         )
+        # wheel-odometry edge between the same keyframe pair (the fusion
+        # the reference leaves commented out, ``icpslam.cpp:156-167``)
+        if config.enable_wheel_odom_edges:
+            wheel_rel = se3.relative(state.wheel_at_last_kf, state.robot_odom.pose)
+            wheel_ok = (
+                not_first
+                & state.robot_odom.initialized
+                & state.wheel_kf_valid
+            )
+            edges2 = pg.add_edge(
+                edges2,
+                prev_idx,
+                new_idx,
+                wheel_rel,
+                _information(config.odometry_information),
+                enable=wheel_ok,
+            )
         st = state._replace(
             keyframes=store2,
             edges=edges2,
             kf_since_opt=state.kf_since_opt + 1,
+            wheel_at_last_kf=state.robot_odom.pose,
+            wheel_kf_valid=state.robot_odom.initialized,
         )
         # loop closure proposal for this keyframe
         if config.enable_loop_closure:

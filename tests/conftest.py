@@ -27,6 +27,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: pipeline-level jits (slam_step & friends)
+# take tens of seconds to compile on CPU; cache them across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/icpslam_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # jax may already be in sys.modules (a pytest plugin can import it), but the
 # backend must not have been initialized yet for the env vars to take effect.
 assert jax.default_backend() == "cpu", (

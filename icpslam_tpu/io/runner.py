@@ -141,9 +141,10 @@ def main(argv=None) -> int:
         )
         init = se3.index(gt, 0)
     else:
-        from icpslam_tpu.io import kitti
+        from icpslam_tpu.io import kitti, native_loader
 
-        scans = kitti.scan_stream(
+        # native prefetching loader when the C++ library is available
+        scans = native_loader.scan_stream(
             args.kitti, args.seq, capacity=cfg.max_raw_points,
             start=args.start, end=args.end,
         )

@@ -63,6 +63,10 @@ class SlamConfig:
     )
     # map-NN search radius in voxels (1 → 3^3 neighborhood)
     map_nn_radius: int = 1
+    # 'point': append-only map + exact brute-force NN (Pallas/MXU — faster
+    # AND more accurate than the reference's approx octree descent on TPU)
+    # 'voxel': sorted voxel hash with 3^3-neighborhood approx lookups
+    map_backend: str = "point"
 
     # --- keyframes & graph (icpslam.h:36-37, icpslam.yaml:20-23) ---
     keyframe_distance: float = 0.3    # KFS_DIST_THRESH, icpslam.h:36
@@ -80,7 +84,7 @@ class SlamConfig:
     # graph solver: 'gn' or 'lm' — honors the reference's pluggable-backend
     # intent (launch/icpslam.launch:14-15 'g2o|gtsam' arg)
     graph_solver: str = "lm"
-    graph_solver_iterations: int = 10
+    graph_solver_iterations: int = 5
 
     # --- wheel / external odometry fusion (robot_odometer.cpp) ---
     wheel_odom_pose_gate: float = 0.1  # POSE_DIST_THRESH, robot_odometer.h:40

@@ -205,7 +205,9 @@ def _solve_and_update(nodes, H, b, damping, node_mask):
         damping * jnp.maximum(scale, 1e-6)[:, None, None] * eye6
     )
     Hm = Hd.reshape(K * 6, K * 6)
-    delta = jax.scipy.linalg.solve(Hm, -b.reshape(K * 6), assume_a="pos")
+    # symmetric PD by construction (damped + anchored) → Cholesky
+    chol = jax.scipy.linalg.cho_factor(Hm, lower=True)
+    delta = jax.scipy.linalg.cho_solve(chol, -b.reshape(K * 6))
     delta = delta.reshape(K, 6) * node_mask[:, None]
     new = se3.normalize(se3.compose(nodes, se3.se3_exp(delta)))
     return new, delta

@@ -1,0 +1,51 @@
+"""Map-backend dispatch: 'point' (append-only + exact NN, TPU-fast) or
+'voxel' (sorted voxel hash with spatial lookups, reference-style).
+
+The choice is static (``config.map_backend``), so the SLAM state pytree
+simply contains whichever map type the config selects — no runtime
+branching, no shape unions.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax.numpy as jnp
+
+from icpslam_tpu.cloud.pointcloud import PointCloud
+from icpslam_tpu.config import SlamConfig
+from icpslam_tpu.mapping import point_map as pm
+from icpslam_tpu.mapping import voxel_map as vm
+
+MapState = Union[pm.PointMap, vm.VoxelMap]
+
+
+def empty(config: SlamConfig) -> MapState:
+    if config.map_backend == "point":
+        return pm.empty_map(config.max_map_points)
+    return vm.empty_map(config.max_map_points)
+
+
+def reset(map_: MapState) -> MapState:
+    if isinstance(map_, pm.PointMap):
+        return pm.reset(map_)
+    return vm.reset(map_)
+
+
+def insert(map_: MapState, cloud: PointCloud, resolution: float) -> MapState:
+    if isinstance(map_, pm.PointMap):
+        return pm.insert(map_, cloud, resolution)
+    return vm.insert(map_, cloud, resolution)
+
+
+def query_nn(
+    map_: MapState,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    config: SlamConfig,
+) -> vm.MapNNResult:
+    if isinstance(map_, pm.PointMap):
+        return pm.exact_nn(map_, points, mask)
+    return vm.approx_nn(
+        map_, points, mask, config.map_resolution, radius=config.map_nn_radius
+    )

@@ -1,0 +1,91 @@
+"""Append-only point map with distance-gated dedup — the TPU-fast backend.
+
+The sorted ``VoxelMap`` maintains a spatial index so CPU-style voxel
+lookups work; but on TPU the fused brute-force NN kernel answers map
+queries faster than any index (``ops.pallas.nn_kernel``), which makes the
+index maintenance (sort/merge scatters) the only remaining cost. This
+backend drops it entirely:
+
+- the map is a flat (C, 3) array + size; insertion appends
+- dedup is *distance-gated*: a candidate point is added only if no
+  existing map point lies within ``resolution`` — the same density bound
+  as the reference's voxel-occupancy gate (two points in one voxel are at
+  most √3·res apart), enforced with one exact-NN pass
+- per-scan self-dedup still uses the voxel downsample (one centroid per
+  voxel), so a single insert cannot flood a region
+
+Insert cost ≈ one NN pass + one small append scatter; queries are the
+same exact-NN kernel. Selected with ``config.map_backend == 'point'``
+(the default); the voxel backend remains for CPU-heavy use and for the
+spatially-sharded multi-device map.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from icpslam_tpu.cloud.pointcloud import PointCloud
+from icpslam_tpu.cloud.voxel import voxel_downsample
+from icpslam_tpu.mapping.voxel_map import MapNNResult
+from icpslam_tpu.ops import nn as nn_ops
+
+
+class PointMap(NamedTuple):
+    points: jnp.ndarray    # (C, 3)
+    size: jnp.ndarray      # int32 live points
+    overflow: jnp.ndarray  # int32 points dropped at capacity
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[0]
+
+    def occupancy_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity, dtype=jnp.int32) < self.size
+
+    def as_cloud(self) -> PointCloud:
+        return PointCloud(points=self.points, mask=self.occupancy_mask())
+
+
+def empty_map(capacity: int, dtype=jnp.float32) -> PointMap:
+    return PointMap(
+        points=jnp.zeros((capacity, 3), dtype),
+        size=jnp.asarray(0, jnp.int32),
+        overflow=jnp.asarray(0, jnp.int32),
+    )
+
+
+def reset(pmap: PointMap) -> PointMap:
+    return empty_map(pmap.capacity, pmap.points.dtype)
+
+
+def insert(pmap: PointMap, cloud: PointCloud, resolution: float) -> PointMap:
+    """Distance-gated append of a (map-frame) cloud."""
+    C = pmap.capacity
+    filt, _ = voxel_downsample(cloud, resolution, cloud.capacity)
+    res = nn_ops.nearest_neighbors(filt.points, pmap.points, pmap.occupancy_mask())
+    # no existing map point within `resolution` → genuinely new surface
+    far = ~(res.dist2 < resolution * resolution)  # True also when dist2=inf
+    new = filt.mask & far
+    pos = pmap.size + jnp.cumsum(new.astype(jnp.int32)) - 1
+    pos = jnp.where(new & (pos < C), pos, C)
+    points = pmap.points.at[pos].set(filt.points, mode="drop")
+    n_new = jnp.sum(new.astype(jnp.int32))
+    total = pmap.size + n_new
+    return PointMap(
+        points=points,
+        size=jnp.minimum(total, C),
+        overflow=pmap.overflow + jnp.maximum(total - C, 0),
+    )
+
+
+def exact_nn(pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray) -> MapNNResult:
+    """Exact NN of query points against the map (Pallas kernel on TPU)."""
+    res = nn_ops.nearest_neighbors(points, pmap.points, pmap.occupancy_mask())
+    found = mask & jnp.isfinite(res.dist2)
+    return MapNNResult(
+        points=jnp.where(found[:, None], pmap.points[res.idx], 0.0),
+        dist2=jnp.where(found, res.dist2, jnp.inf),
+        found=found,
+    )

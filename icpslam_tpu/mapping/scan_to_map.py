@@ -28,8 +28,10 @@ from icpslam_tpu.cloud import pointcloud as pc
 from icpslam_tpu.config import SlamConfig
 from icpslam_tpu.geometry import se3
 from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.mapping import backend as map_backend
 from icpslam_tpu.mapping import voxel_map as vm
 from icpslam_tpu.ops import covariance as cov_ops
+from icpslam_tpu.ops import nn as nn_ops
 from icpslam_tpu.ops import icp as icp_ops
 
 
@@ -39,11 +41,11 @@ class RefineResult(NamedTuple):
     correction: Pose          # robot-frame correction transform (identity unless success)
     fitness: jnp.ndarray
     nn_found: jnp.ndarray     # int32: scan points with a map NN
-    map: vm.VoxelMap          # grown (or seeded) map
+    map: map_backend.MapState  # grown (or seeded) map
 
 
 def refine_and_grow(
-    map_: vm.VoxelMap,
+    map_: map_backend.MapState,
     scan: pc.PointCloud,
     raw_pose: Pose,
     config: SlamConfig,
@@ -60,7 +62,7 @@ def refine_and_grow(
     map_empty = map_.size == 0
 
     def seed(_):
-        grown = vm.insert(map_, cloud_in_map, res_m)
+        grown = map_backend.insert(map_, cloud_in_map, res_m)
         return RefineResult(
             success=jnp.asarray(False),
             refined_pose=raw_pose,
@@ -71,9 +73,8 @@ def refine_and_grow(
         )
 
     def refine(_):
-        nn = vm.approx_nn(
-            map_, cloud_in_map.points, cloud_in_map.mask, res_m,
-            radius=config.map_nn_radius,
+        nn = map_backend.query_nn(
+            map_, cloud_in_map.points, cloud_in_map.mask, config
         )
         # NN points back into the robot frame (reference ``:149``)
         inv = se3.inverse(raw_pose)
@@ -104,7 +105,7 @@ def refine_and_grow(
         )
         refined = se3.normalize(se3.compose(raw_pose, correction))
         grow_cloud = pc.transform(refined, scan)
-        grown = vm.insert(map_, grow_cloud, res_m)
+        grown = map_backend.insert(map_, grow_cloud, res_m)
         # on failure the reference does not grow the map (``:155-169``)
         final_map = jax.tree_util.tree_map(
             lambda a, b: jnp.where(success, a, b), grown, map_

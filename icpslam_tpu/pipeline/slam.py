@@ -38,6 +38,7 @@ from icpslam_tpu.geometry import se3
 from icpslam_tpu.geometry.se3 import Pose
 from icpslam_tpu.graph import keyframes as kf
 from icpslam_tpu.graph import pose_graph as pg
+from icpslam_tpu.mapping import backend as map_backend
 from icpslam_tpu.mapping import scan_to_map
 from icpslam_tpu.mapping import voxel_map as vm
 from icpslam_tpu.ops import icp as icp_ops
@@ -50,7 +51,7 @@ class SlamState(NamedTuple):
     robot_odom: robot_odo.RobotOdometryState
     wheel_at_last_kf: Pose     # wheel-odom pose captured at the last keyframe
     wheel_kf_valid: jnp.ndarray  # bool: wheel_at_last_kf is meaningful
-    map: vm.VoxelMap
+    map: map_backend.MapState
     keyframes: kf.KeyframeStore
     edges: pg.EdgeSet
     map_to_odom: Pose          # map ← odom correction (``:91-98``)
@@ -80,7 +81,7 @@ def init_state(config: SlamConfig, initial_pose: Optional[Pose] = None) -> SlamS
         robot_odom=robot_odo.init_state(),
         wheel_at_last_kf=se3.identity(),
         wheel_kf_valid=jnp.asarray(False),
-        map=vm.empty_map(config.max_map_points),
+        map=map_backend.empty(config),
         keyframes=kf.empty(config.max_keyframes, config.max_points),
         edges=pg.empty_edges(config.max_edges),
         map_to_odom=se3.identity(),
@@ -196,7 +197,7 @@ def _optimize(state: SlamState, config: SlamConfig) -> Tuple[SlamState, jnp.ndar
     new_store = kf.set_graph_poses(store, opt_nodes)
     # map→odom = last_kf.graph ∘ last_kf.odom⁻¹ (``:91-98``)
     m2o = se3.compose(kf.latest(new_store), se3.inverse(kf.latest_odom(new_store)))
-    new_map = vm.reset(state.map) if config.reset_map_on_optimize else state.map
+    new_map = map_backend.reset(state.map) if config.reset_map_on_optimize else state.map
     return (
         state._replace(
             keyframes=new_store,

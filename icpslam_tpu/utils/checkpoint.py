@@ -64,11 +64,11 @@ def rerender_map(state, config: SlamConfig):
     Returns a new ``SlamState`` with the regenerated map (used on resume
     and whenever a full map product is wanted after an optimize-reset).
     """
-    from icpslam_tpu.mapping import voxel_map as vm
+    from icpslam_tpu.mapping import backend as map_backend
 
     store = state.keyframes
     n = int(state.keyframes.count)
-    m = vm.empty_map(config.max_map_points)
+    m = map_backend.empty(config)
     for k in range(n):
         cloud = PointCloud(points=store.points[k], mask=store.point_mask[k])
         pose = se3.index(store.pose_graph, k)
@@ -76,5 +76,5 @@ def rerender_map(state, config: SlamConfig):
             points=se3.transform_points(pose, cloud.points) * cloud.mask[:, None],
             mask=cloud.mask,
         )
-        m = vm.insert(m, world, config.map_resolution)
+        m = map_backend.insert(m, world, config.map_resolution)
     return state._replace(map=m)

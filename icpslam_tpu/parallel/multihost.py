@@ -1,0 +1,67 @@
+"""Multi-host initialization and process-level utilities.
+
+The reference is strictly single-process (SURVEY.md §1 middleware note).
+This framework's multi-host story follows the standard JAX recipe:
+
+- **DCN / process coordination**: ``jax.distributed.initialize`` connects
+  the host processes (one per TPU VM); afterwards ``jax.devices()`` spans
+  the whole slice and every jitted/shard_mapped computation in
+  ``parallel/`` runs SPMD across hosts with XLA collectives riding ICI.
+- **host-side scan feed**: each process feeds only its local shard of any
+  globally-sharded input via ``jax.make_array_from_process_local_data``;
+  for the streaming SLAM loop the scan stream is broadcast (small) while
+  map/graph state lives sharded on device.
+
+Nothing here is TPU-pod-specific to *call* — on CI it initializes a
+single-process "cluster" and the same code paths run on the 8-virtual-
+device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Connect this process to the multi-host cluster.
+
+    With no arguments, relies on the TPU environment's auto-detection
+    (the normal path on Cloud TPU VMs). No-op if already initialized or
+    running single-process.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process / already-initialized environments
+        pass
+
+
+def global_mesh(axis: str = "dp") -> Mesh:
+    """1-D mesh over every device in the (possibly multi-host) slice."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def replicate_to_global(x, mesh: Mesh):
+    """Place a host-local array replicated across the global mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0

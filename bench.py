@@ -82,7 +82,6 @@ def main() -> int:
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    n_acc = 0
     for i in range(args.warmup, args.warmup + args.scans):
         state, out = step(state, scans[i], cfg)
     jax.block_until_ready(state)

@@ -40,6 +40,7 @@ class EdgeSet(NamedTuple):
     info: jnp.ndarray   # (E, 6, 6) information matrices
     valid: jnp.ndarray  # (E,) bool
     count: jnp.ndarray  # int32
+    overflow: jnp.ndarray  # int32 edges dropped at capacity (no silent caps)
 
     @property
     def capacity(self) -> int:
@@ -59,6 +60,7 @@ def empty_edges(capacity: int, dtype=jnp.float32) -> EdgeSet:
         info=jnp.broadcast_to(jnp.eye(6, dtype=dtype), (capacity, 6, 6)),
         valid=jnp.zeros((capacity,), bool),
         count=jnp.asarray(0, jnp.int32),
+        overflow=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -70,8 +72,11 @@ def add_edge(
     info: jnp.ndarray,
     enable: jnp.ndarray | bool = True,
 ) -> EdgeSet:
-    """Append one edge (no-op when ``enable`` is False or at capacity)."""
-    enable = jnp.asarray(enable) & (edges.count < edges.capacity)
+    """Append one edge (no-op when ``enable`` is False; counted in
+    ``overflow`` when dropped only because the capacity is full)."""
+    want = jnp.asarray(enable)
+    room = edges.count < edges.capacity
+    enable = want & room
     idx = jnp.minimum(edges.count, edges.capacity - 1)
 
     def upd(arr, val):
@@ -85,6 +90,7 @@ def add_edge(
         info=upd(edges.info, info),
         valid=upd(edges.valid, True),
         count=jnp.where(enable, edges.count + 1, edges.count),
+        overflow=edges.overflow + (want & ~room).astype(jnp.int32),
     )
 
 

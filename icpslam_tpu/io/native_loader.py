@@ -124,14 +124,18 @@ class PrefetchingLoader:
         import jax.numpy as jnp
 
         buf = np.zeros((self._capacity, 3), np.float32)
-        for _ in range(self._n):
+        for k in range(self._n):
             n = self._lib.scanio_prefetcher_next(
                 self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
             )
             if n == -2:
                 break
+            if n < 0:
+                # match the Python reader's behavior: a bad file is an
+                # error, not a silent empty scan
+                raise IOError(f"native read failed for scan #{k}")
             mask = np.zeros((self._capacity,), bool)
-            mask[: max(n, 0)] = True
+            mask[:n] = True
             yield pc.PointCloud(
                 points=jnp.asarray(buf.copy()), mask=jnp.asarray(mask)
             )

@@ -16,7 +16,7 @@ import dataclasses
 import json
 import sys
 import time
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Optional
 
 import numpy as np
 

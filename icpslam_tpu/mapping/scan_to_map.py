@@ -49,12 +49,15 @@ def refine_and_grow(
     scan: pc.PointCloud,
     raw_pose: Pose,
     config: SlamConfig,
+    scan_covs: jnp.ndarray | None = None,
 ) -> RefineResult:
     """Refine ``raw_pose`` against the map and grow the map with the scan.
 
     ``scan`` is the *downsampled* sensor-frame cloud (the odometry
     front-end's ``filtered`` output), matching the reference feeding the
     odometer's cloud into the mapper (``icpslam.cpp:130-135``).
+    ``scan_covs`` lets callers reuse GICP covariances the front-end
+    already computed for the same cloud (same knn/epsilon required).
     """
     icfg = config.icp_mapping
     res_m = config.map_resolution
@@ -88,7 +91,8 @@ def refine_and_grow(
         kwargs = {}
         if plane:
             kwargs = dict(
-                source_covs=cov_ops.gicp_covariances(
+                source_covs=scan_covs if scan_covs is not None
+                else cov_ops.gicp_covariances(
                     scan, k=icfg.covariance_knn, epsilon=icfg.covariance_epsilon
                 ),
                 target_covs=cov_ops.gicp_covariances(

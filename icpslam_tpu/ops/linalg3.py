@@ -92,6 +92,11 @@ def eigvals_sym3(A: jnp.ndarray) -> jnp.ndarray:
     e_hi = q + 2.0 * p * jnp.cos(phi)
     e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
     e_mid = 3.0 * q - e_hi - e_lo
+    # isotropic matrices (p2 ≈ 0) have all eigenvalues equal to q; the
+    # guarded p above is a dummy there, so select q explicitly
+    e_lo = jnp.where(small, q, e_lo)
+    e_mid = jnp.where(small, q, e_mid)
+    e_hi = jnp.where(small, q, e_hi)
     return jnp.stack([e_lo, e_mid, e_hi], axis=-1)
 
 

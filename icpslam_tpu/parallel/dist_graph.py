@@ -43,6 +43,7 @@ def _shardable_edges(edges: pg.EdgeSet, n_shards: int) -> pg.EdgeSet:
         info=jnp.pad(edges.info, ((0, pad), (0, 0), (0, 0))),
         valid=jnp.pad(edges.valid, (0, pad)),
         count=edges.count,
+        overflow=edges.overflow,
     )
 
 
@@ -70,6 +71,7 @@ def sharded_edge_contributions(
         local = pg.EdgeSet(
             i=ei, j=ej, rel_t=ert, rel_q=erq, info=einfo, valid=evalid,
             count=jnp.sum(evalid.astype(jnp.int32)),
+            overflow=jnp.asarray(0, jnp.int32),
         )
         H, b = pg.edge_contributions(Pose(t=nt, q=nq), local)
         return jax.lax.psum(H, axis), jax.lax.psum(b, axis)

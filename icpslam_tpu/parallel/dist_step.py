@@ -90,6 +90,7 @@ def batched_slam_step(
         info=jnp.broadcast_to(info_diag * jnp.eye(6, dtype=rel_t.dtype), (B, 6, 6)),
         valid=jnp.ones((B,), bool),
         count=jnp.asarray(B, jnp.int32),
+        overflow=jnp.asarray(0, jnp.int32),
     )
     node_mask = jnp.ones((K,), bool)
     opt, stats = dist_graph.optimize(

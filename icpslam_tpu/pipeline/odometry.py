@@ -54,6 +54,9 @@ class OdometryOutput(NamedTuple):
     iterations: jnp.ndarray
     num_voxels: jnp.ndarray    # occupied voxels before capacity clipping
     filtered: pc.PointCloud    # the downsampled scan (consumed by mapping)
+    filtered_covs: jnp.ndarray  # (N,3,3) GICP covariances of `filtered`
+                               # (meaningful only in plane mode; identity
+                               # placeholders otherwise)
 
 
 def init_state(config: SlamConfig, initial_pose: Pose | None = None) -> OdometryState:
@@ -141,8 +144,11 @@ def odometry_step(
     new_pose = se3.normalize(se3.compose(state.pose, transform))
     new_accum = se3.normalize(se3.compose(state.accum, transform))
 
-    # prev cloud/covs update on every *processed* scan (bootstrap or registered)
-    take_cloud = ~skip
+    # prev cloud/covs update on bootstrap or *successful* registration only —
+    # on rejection the reference keeps the old cloud (icp_odometer.cpp keeps
+    # prev_cloud_ unless converged && fitness ok), so the next registration
+    # spans the full motion instead of silently dropping a step
+    take_cloud = ~state.initialized | (do_register & accepted)
     sel = lambda new, old: jax.tree_util.tree_map(
         lambda a, b: jnp.where(take_cloud, a, b), new, old
     )
@@ -179,5 +185,6 @@ def odometry_step(
         iterations=iters,
         num_voxels=num_voxels,
         filtered=filtered,
+        filtered_covs=covs,
     )
     return new_state, out

@@ -40,7 +40,6 @@ from icpslam_tpu.graph import keyframes as kf
 from icpslam_tpu.graph import pose_graph as pg
 from icpslam_tpu.mapping import backend as map_backend
 from icpslam_tpu.mapping import scan_to_map
-from icpslam_tpu.mapping import voxel_map as vm
 from icpslam_tpu.ops import icp as icp_ops
 from icpslam_tpu.pipeline import odometry as odo
 from icpslam_tpu.pipeline import robot_odometry as robot_odo
@@ -228,8 +227,20 @@ def slam_step(
     have_kf = state.keyframes.count > 0
     do_refine = oout.processed & oout.accepted & have_kf
 
+    # reuse the front-end's covariances when the mapping ICP uses the same
+    # plane-mode parameters (avoids recomputing the k-NN + eigen pass)
+    covs_reusable = (
+        config.icp_mapping.mode == "plane"
+        and config.icp_odometry.mode == "plane"
+        and config.icp_mapping.covariance_knn == config.icp_odometry.covariance_knn
+        and config.icp_mapping.covariance_epsilon == config.icp_odometry.covariance_epsilon
+    )
+
     def with_refine(_):
-        r = scan_to_map.refine_and_grow(state.map, oout.filtered, raw_pose, config)
+        r = scan_to_map.refine_and_grow(
+            state.map, oout.filtered, raw_pose, config,
+            scan_covs=oout.filtered_covs if covs_reusable else None,
+        )
         return r.map, r.refined_pose, r.success
 
     def without_refine(_):

@@ -134,8 +134,13 @@ struct Prefetcher {
                                 record_stride, min_range, max_range);
       s.index = static_cast<int>(idx);
       std::unique_lock<std::mutex> lk(mu);
-      cv_space.wait(lk, [this] {
-        return stop.load() || ready.size() + reorder.size() < max_queue + 8;
+      // The slot the consumer is waiting for (index == next_emit) must be
+      // exempt from the space limit: otherwise out-of-order completions can
+      // fill the quota and deadlock producer and consumer against each
+      // other (next-in-order blocked on space, consumer blocked on data).
+      cv_space.wait(lk, [this, &s] {
+        return stop.load() || s.index == next_emit ||
+               ready.size() + reorder.size() < max_queue + 8;
       });
       if (stop.load()) return;
       reorder.push_back(std::move(s));

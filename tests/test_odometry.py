@@ -124,3 +124,32 @@ class TestOdometry:
         np.testing.assert_allclose(
             np.asarray(state.pose.t), np.asarray(pose_before.t), atol=1e-7
         )
+
+    def test_rejection_keeps_prev_cloud(self):
+        # regression (review finding): a rejected registration must NOT
+        # replace prev_cloud, so the next scan recovers the full motion
+        cfg = tiny_config(
+            voxel_leaf_size=0.3,
+            icp_odometry=IcpConfig(mode="point"),
+            max_points=512,
+            max_raw_points=2048,
+        )
+        rng = np.random.RandomState(7)
+        step = jax.jit(odometry.odometry_step, static_argnums=(2,))
+        state = odometry.init_state(cfg)
+        base = rng.randn(400, 3).astype(np.float32)
+        scan1 = pc.from_points(base, capacity=2048)
+        garbage = pc.from_points(
+            (rng.randn(400, 3) + 1000.0).astype(np.float32), capacity=2048
+        )
+        state, _ = step(state, scan1, cfg)
+        cloud_before = np.asarray(state.prev_cloud.points).copy()
+        state, out = step(state, garbage, cfg)
+        assert not bool(out.accepted)
+        np.testing.assert_array_equal(
+            np.asarray(state.prev_cloud.points), cloud_before
+        )
+        # a good scan (same as scan1, slightly shifted) still registers
+        shifted = pc.from_points(base + np.array([0.05, 0, 0], np.float32), capacity=2048)
+        state, out = step(state, shifted, cfg)
+        assert bool(out.accepted)

@@ -195,3 +195,23 @@ class TestIcp:
         _, target, _ = make_scan_pair(15)
         res = icp_mod.icp(source, target, IcpConfig(mode="point"))
         assert not bool(res.converged)
+
+
+class TestLinalg3:
+    def test_eigvals_isotropic(self):
+        # regression: isotropic matrices must return (q, q, q), not the
+        # dummy guarded-p values
+        from icpslam_tpu.ops.linalg3 import eigvals_sym3
+        np.testing.assert_allclose(np.asarray(eigvals_sym3(jnp.eye(3))), 1.0, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(eigvals_sym3(2.0 * jnp.eye(3))), 2.0, atol=1e-6
+        )
+
+    def test_eigvals_match_numpy(self):
+        from icpslam_tpu.ops.linalg3 import eigvals_sym3
+        rng = np.random.RandomState(0)
+        A = rng.randn(64, 3, 3).astype(np.float32)
+        A = A @ A.transpose(0, 2, 1)
+        got = np.asarray(eigvals_sym3(jnp.asarray(A)))
+        expect = np.linalg.eigvalsh(A)
+        np.testing.assert_allclose(got, expect, atol=1e-3, rtol=1e-3)

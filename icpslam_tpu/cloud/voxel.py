@@ -49,6 +49,26 @@ def segment_starts(sorted_coords: jnp.ndarray, sorted_valid: jnp.ndarray) -> jnp
     return differs & sorted_valid
 
 
+# Packed-key sort: a single scan has bounded extent, so voxel coordinates
+# relative to the scan's min corner fit in 11+11+10 bits (2048×2048×1024
+# cells — e.g. 409×409×204 m at 0.2 m leaves). One 32-bit sort replaces
+# the 3-pass lexsort. Out-of-range cells (gigantic scans / tiny leaves)
+# clamp into the boundary cell; that merges only the pathological fringe.
+_PACK_BITS = (11, 11, 10)
+
+
+def _packed_keys(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """(N,) int32 sort keys from relative voxel coords; invalid → max key."""
+    bx, by, bz = _PACK_BITS
+    base = jnp.min(jnp.where(valid[:, None], coords, 2**22), axis=0)
+    rel = coords - base
+    rx = jnp.clip(rel[:, 0], 0, (1 << bx) - 1)
+    ry = jnp.clip(rel[:, 1], 0, (1 << by) - 1)
+    rz = jnp.clip(rel[:, 2], 0, (1 << bz) - 1)
+    key = (rx << (by + bz)) | (ry << bz) | rz
+    return jnp.where(valid, key, jnp.int32(2**31 - 1))
+
+
 def voxel_downsample(
     cloud: PointCloud, resolution: float, capacity: int
 ) -> Tuple[PointCloud, jnp.ndarray]:
@@ -61,7 +81,8 @@ def voxel_downsample(
     coordinate order; SURVEY.md "no silent caps").
     """
     coords = voxel_coords(cloud.points, resolution, cloud.mask)
-    order = lexsort_order(coords)
+    keys = _packed_keys(coords, cloud.mask)
+    order = jnp.argsort(keys)
     sc = coords[order]
     sp = cloud.points[order]
     sv = cloud.mask[order]

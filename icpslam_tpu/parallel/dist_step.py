@@ -102,6 +102,43 @@ def batched_slam_step(
     )
 
 
+def batched_slam_step_with_map(
+    src: PointCloud,
+    tgt: PointCloud,
+    icp_config: IcpConfig,
+    mesh: Mesh,
+    map_resolution: float = 0.3,
+    map_capacity_per_shard: int = 1024,
+    axis: str = "dp",
+):
+    """Batch step + spatially-sharded map build and query.
+
+    Extends ``batched_slam_step`` with the remaining multi-device
+    subsystem: every registered scan is inserted into the spatially-
+    sharded voxel map at its optimized pose (communication-free insert)
+    and the first scan is queried back (pmin/psum NN reduce). Exercises
+    every collective family the framework uses — the shape validated by
+    ``dryrun_multichip``.
+    """
+    from icpslam_tpu.geometry.se3 import Pose as _Pose
+    from icpslam_tpu.parallel import sharded_map as sm
+
+    result = batched_slam_step(src, tgt, icp_config, mesh, axis=axis)
+    n_dev = mesh.shape[axis]
+    smap = sm.empty_sharded_map(map_capacity_per_shard, n_dev)
+    B = src.points.shape[0]
+    for b in range(B):
+        pose_b = _Pose(t=result.nodes.t[b + 1], q=result.nodes.q[b + 1])
+        world_pts = se3.transform_points(pose_b, src.points[b])
+        cloud_b = PointCloud(points=world_pts, mask=src.mask[b])
+        smap = sm.insert(smap, cloud_b, map_resolution, mesh, axis=axis)
+    first = se3.transform_points(
+        _Pose(t=result.nodes.t[1], q=result.nodes.q[1]), src.points[0]
+    )
+    nn = sm.approx_nn(smap, first, src.mask[0], map_resolution, mesh, axis=axis)
+    return result, smap, nn
+
+
 def make_batched_step(icp_config: IcpConfig, mesh: Mesh, axis: str = "dp"):
     """Jitted batched step with input shardings pinned to the mesh."""
     shard = NamedSharding(mesh, P(axis))

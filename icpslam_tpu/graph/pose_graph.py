@@ -201,6 +201,145 @@ def normal_equations(
     return regularize_normal_equations(H, b, node_mask, anchor_weight)
 
 
+# ---------------------------------------------------------------------------
+# Matrix-free PCG linear solver (scales past the dense factorization)
+# ---------------------------------------------------------------------------
+
+
+def _edge_linearization(nodes: Pose, edges: EdgeSet):
+    """Per-edge residuals/Jacobians + masked information, computed once per
+    outer iteration and reused by every CG matvec."""
+    r, Ji, Jj = _edge_jacobians(nodes, edges)
+    w = edges.valid.astype(nodes.t.dtype)
+    info = edges.info * w[:, None, None]
+    return r, Ji, Jj, info
+
+
+def _edge_diag_blocks(Ji, Jj, info, ei, ej, K):
+    """Edge-only block-diagonal of H (distributable: sum over edges)."""
+    JiT_O = jnp.einsum("eki,ekl->eil", Ji, info)
+    JjT_O = jnp.einsum("eki,ekl->eil", Jj, info)
+    Hii = jnp.einsum("eil,elk->eik", JiT_O, Ji)
+    Hjj = jnp.einsum("eil,elk->eik", JjT_O, Jj)
+    return jnp.zeros((K, 6, 6), info.dtype).at[ei].add(Hii).at[ej].add(Hjj)
+
+
+def _regularize_diag(D, node_mask, anchor_weight):
+    eye6 = jnp.eye(6, dtype=D.dtype)
+    dead = (~node_mask).astype(D.dtype)
+    D = D + dead[:, None, None] * eye6
+    return D.at[0].add(anchor_weight * eye6)
+
+
+def _diag_blocks(Ji, Jj, info, ei, ej, K, node_mask, anchor_weight):
+    """Block-diagonal of the regularized H — the Jacobi preconditioner."""
+    return _regularize_diag(
+        _edge_diag_blocks(Ji, Jj, info, ei, ej, K), node_mask, anchor_weight
+    )
+
+
+def _edge_gradient(r, Ji, Jj, info, ei, ej, K):
+    """b = Σ JᵀΩ r (edge-only, distributable)."""
+    v = jnp.einsum("eab,eb->ea", info, r)
+    bi = jnp.einsum("eba,eb->ea", Ji, v)
+    bj = jnp.einsum("eba,eb->ea", Jj, v)
+    return jnp.zeros((K, 6), info.dtype).at[ei].add(bi).at[ej].add(bj)
+
+
+def _apply_H_edges(Ji, Jj, info, ei, ej, x):
+    """Edge-only part of H @ x (distributable: sum over edges)."""
+    xi = x[ei]
+    xj = x[ej]
+    u = jnp.einsum("eab,eb->ea", Ji, xi) + jnp.einsum("eab,eb->ea", Jj, xj)
+    v = jnp.einsum("eab,eb->ea", info, u)
+    yi = jnp.einsum("eba,eb->ea", Ji, v)
+    yj = jnp.einsum("eba,eb->ea", Jj, v)
+    return jnp.zeros_like(x).at[ei].add(yi).at[ej].add(yj)
+
+
+def _regularize_apply(y, x, node_mask, anchor_weight, damping_diag):
+    dead = (~node_mask).astype(x.dtype)
+    y = y + dead[:, None] * x
+    y = y.at[0].add(anchor_weight * x[0])
+    return y + damping_diag * x
+
+
+def _apply_H(
+    Ji, Jj, info, ei, ej, x, node_mask, anchor_weight, damping_diag
+):
+    """y = (H_reg + diag damping) @ x without materializing H.
+
+    x, y: (K, 6). Edge work is three batched einsums + two segment adds —
+    the distributed variant shards edges and psums the edge part.
+    """
+    y = _apply_H_edges(Ji, Jj, info, ei, ej, x)
+    return _regularize_apply(y, x, node_mask, anchor_weight, damping_diag)
+
+
+def pcg_solve(apply_fn, Dinv, b, iterations: int = 50, tol: float = 1e-8):
+    """Preconditioned conjugate gradients for H x = b.
+
+    ``apply_fn(x)`` computes H @ x; ``Dinv`` is the (K, 6, 6) block-Jacobi
+    preconditioner inverse. Early exit on relative residual < tol.
+    """
+    def precond(r):
+        return jnp.einsum("kab,kb->ka", Dinv, r)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    b2 = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def cond(carry):
+        _, r, _, _, it = carry
+        return (it < iterations) & (jnp.sum(r * r) > tol * tol * b2)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = apply_fn(p)
+        denom = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    x, r, _, _, it = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32))
+    )
+    return x, it
+
+
+def _pcg_step(nodes, edges, node_mask, damping, anchor_weight=1e6,
+              cg_iterations: int = 50):
+    """One GN/LM step with the matrix-free PCG linear solver."""
+    K = nodes.t.shape[0]
+    r, Ji, Jj, info = _edge_linearization(nodes, edges)
+    b = _edge_gradient(r, Ji, Jj, info, edges.i, edges.j, K)
+    b = b * node_mask[:, None]
+
+    D = _diag_blocks(Ji, Jj, info, edges.i, edges.j, K, node_mask, anchor_weight)
+    scale = jnp.einsum("kaa->k", D) / 6.0
+    damping_diag = (damping * jnp.maximum(scale, 1e-6))[:, None]
+    eye6 = jnp.eye(6, dtype=D.dtype)
+    Dinv = jnp.linalg.inv(D + damping_diag[..., None] * eye6 + 1e-9 * eye6)
+
+    def apply_fn(x):
+        return _apply_H(
+            Ji, Jj, info, edges.i, edges.j, x, node_mask, anchor_weight,
+            damping_diag,
+        )
+
+    delta, _ = pcg_solve(apply_fn, Dinv, -b, iterations=cg_iterations)
+    delta = delta * node_mask[:, None]
+    return se3.normalize(se3.compose(nodes, se3.se3_exp(delta)))
+
+
 def _solve_and_update(nodes, H, b, damping, node_mask):
     K = nodes.t.shape[0]
     eye6 = jnp.eye(6, dtype=nodes.t.dtype)
@@ -232,23 +371,35 @@ def optimize(
     iterations: int = 10,
     mode: str = "lm",
     init_damping: float = 1e-4,
+    linear_solver: str = "direct",
+    cg_iterations: int = 50,
 ) -> Tuple[Pose, SolveStats]:
     """Optimize node poses. ``mode``: 'gn' (fixed GN steps) or 'lm'
-    (adaptive damping with accept/reject, g2o-style)."""
+    (adaptive damping with accept/reject, g2o-style). ``linear_solver``:
+    'direct' (dense-block Cholesky — fastest for keyframe-scale graphs) or
+    'pcg' (matrix-free block-Jacobi preconditioned CG — memory/compute
+    scale with edges instead of K², for very large graphs)."""
     c0 = graph_cost(nodes, edges)
+    pcg = linear_solver == "pcg"
+
+    def gn_or_lm_step(nodes, lam):
+        if pcg:
+            return _pcg_step(
+                nodes, edges, node_mask, lam, cg_iterations=cg_iterations
+            )
+        H, b = normal_equations(nodes, edges, node_mask)
+        new, _ = _solve_and_update(nodes, H, b, lam, node_mask)
+        return new
 
     if mode == "gn":
         def body(it, nodes):
-            H, b = normal_equations(nodes, edges, node_mask)
-            new, _ = _solve_and_update(nodes, H, b, 0.0, node_mask)
-            return new
+            return gn_or_lm_step(nodes, 0.0)
         final = jax.lax.fori_loop(0, iterations, body, nodes)
         return final, SolveStats(c0, graph_cost(final, edges), jnp.asarray(iterations))
 
     def body(it, carry):
         nodes, lam, cost = carry
-        H, b = normal_equations(nodes, edges, node_mask)
-        cand, _ = _solve_and_update(nodes, H, b, lam, node_mask)
+        cand = gn_or_lm_step(nodes, lam)
         c_new = graph_cost(cand, edges)
         accept = c_new < cost
         nodes = jax.tree_util.tree_map(

@@ -138,3 +138,40 @@ class TestPoseGraph:
         gt = circle_poses(8)
         edges = build_chain_edges(gt, capacity=4)  # 7 edges into cap 4
         assert int(edges.count) == 4
+
+
+class TestPCGSolver:
+    @pytest.mark.parametrize("mode", ["gn", "lm"])
+    def test_pcg_matches_direct(self, mode):
+        n = 12
+        gt = circle_poses(n)
+        rng = np.random.RandomState(5)
+        drift = se3.se3_exp(jnp.asarray(
+            np.cumsum(rng.randn(n, 6) * 0.02, axis=0), jnp.float32))
+        noisy = se3.normalize(se3.compose(gt, drift))
+        noisy = Pose(t=noisy.t.at[0].set(gt.t[0]), q=noisy.q.at[0].set(gt.q[0]))
+        edges = build_chain_edges(gt, capacity=16, close_loop=True)
+        mask = jnp.ones(n, bool)
+        direct, dstats = pg.optimize(noisy, edges, mask, iterations=15, mode=mode)
+        cg, cstats = pg.optimize(
+            noisy, edges, mask, iterations=15, mode=mode,
+            linear_solver="pcg", cg_iterations=100,
+        )
+        # both must reach (near) machine-precision cost on this easy problem
+        assert float(cstats.final_cost) < float(dstats.initial_cost) * 1e-3
+        np.testing.assert_allclose(np.asarray(cg.t), np.asarray(direct.t), atol=5e-3)
+
+    def test_pcg_with_dead_nodes(self):
+        gt = circle_poses(4)
+        K = 8
+        nodes = Pose(
+            t=jnp.concatenate([gt.t, jnp.zeros((4, 3))]),
+            q=jnp.concatenate([gt.q, se3.identity((4,)).q]),
+        )
+        edges = build_chain_edges(gt, capacity=8, noise=0.02, seed=6)
+        mask = jnp.arange(K) < 4
+        opt, _ = pg.optimize(
+            nodes, edges, mask, iterations=5, mode="gn", linear_solver="pcg"
+        )
+        np.testing.assert_allclose(np.asarray(opt.t[4:]), 0.0, atol=1e-6)
+        assert not np.any(np.isnan(np.asarray(opt.t)))

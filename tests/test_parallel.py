@@ -111,3 +111,22 @@ class TestBatchedStep:
         )
         err = float(jnp.linalg.norm(gt_rel.t - est_rel.t))
         assert err < 0.5, err
+
+
+class TestDistPCG:
+    @pytest.mark.parametrize("mode", ["gn", "lm"])
+    def test_distributed_pcg_matches_direct(self, mesh8, mode):
+        n = 12
+        gt = circle_poses(n)
+        rng = np.random.RandomState(9)
+        drift = se3.se3_exp(jnp.asarray(np.cumsum(rng.randn(n, 6) * 0.02, 0), jnp.float32))
+        noisy = se3.normalize(se3.compose(gt, drift))
+        edges = build_chain_edges(gt, capacity=16, close_loop=True)
+        mask = jnp.ones(n, bool)
+        ref, rstats = pg.optimize(noisy, edges, mask, iterations=10, mode=mode)
+        got, gstats = dist_graph.optimize(
+            noisy, edges, mask, mesh8, iterations=10, mode=mode,
+            linear_solver="pcg", cg_iterations=100,
+        )
+        assert float(gstats.final_cost) < float(gstats.initial_cost) * 1e-3
+        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), atol=5e-3)

@@ -35,6 +35,12 @@ class IcpConfig:
     transformation_epsilon: float = 1e-6      # icp_odometer.h:64
     fitness_threshold: float = 20.0   # hardcoded accept gate, icp_odometer.cpp:201
     # GICP covariance regularization (PCL uses epsilon-inflated plane covs)
+    # 'knn': PCL-style k nearest neighbors (default — smoother normals,
+    # lets ICP early-exit); 'radius': fixed-radius moment statistics in
+    # one fused Pallas pass (cheaper per call; normals are noisier at the
+    # radius cutoff, which tends to cost ICP iterations)
+    covariance_mode: str = "knn"
+    covariance_radius: float = 0.5   # meters (~2.5 voxel leaves)
     covariance_knn: int = 10
     covariance_epsilon: float = 1e-3
     # 'point' (Kabsch point-to-point) or 'plane' (GICP-style plane-to-plane GN)

@@ -90,14 +90,12 @@ def refine_and_grow(
         plane = icfg.mode == "plane"
         kwargs = {}
         if plane:
+            from icpslam_tpu.pipeline.odometry import compute_covariances
+
             kwargs = dict(
                 source_covs=scan_covs if scan_covs is not None
-                else cov_ops.gicp_covariances(
-                    scan, k=icfg.covariance_knn, epsilon=icfg.covariance_epsilon
-                ),
-                target_covs=cov_ops.gicp_covariances(
-                    nn_robot, k=icfg.covariance_knn, epsilon=icfg.covariance_epsilon
-                ),
+                else compute_covariances(scan, icfg),
+                target_covs=compute_covariances(nn_robot, icfg),
             )
         icp_res = icp_ops.icp(scan, nn_robot, icfg, **kwargs)
         # reference accepts on hasConverged() alone here (no fitness gate,

@@ -9,6 +9,7 @@ batched 3×3 eigendecomposition → eigenvalue replacement.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from icpslam_tpu.cloud.pointcloud import PointCloud
@@ -56,3 +57,36 @@ def gicp_covariances(
     enough = jnp.sum(valid, axis=-1) >= 3
     cov_reg = jnp.where(enough[:, None, None] & cloud.mask[:, None, None], cov_reg, eye)
     return cov_reg
+
+
+def gicp_covariances_radius(
+    cloud: PointCloud,
+    radius: float,
+    epsilon: float = 1e-3,
+) -> jnp.ndarray:
+    """GICP covariances from *fixed-radius* neighborhoods — no top-k.
+
+    The neighborhood covariance is recovered from moment statistics
+    (count, Σp, Σppᵀ) accumulated in a single fused Pallas pass
+    (``ops.pallas.radius_stats_kernel``); the surface normal and the
+    ``I − (1−ε)·n nᵀ`` regularization follow as in the k-NN variant. On
+    voxel-downsampled clouds a radius of ~2-3 leaf sizes yields the same
+    ~10-20 neighbors PCL's k-NN would find, at a fraction of the cost.
+    """
+    from icpslam_tpu.ops.pallas import radius_stats_kernel as rsk
+
+    pts = cloud.points
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and pts.shape[0] % rsk.DEFAULT_BQ == 0
+        and pts.shape[0] % rsk.DEFAULT_BT == 0
+    )
+    fn = rsk.radius_moments if use_pallas else rsk.radius_moments_xla
+    count, _, cov = fn(pts, pts, cloud.mask, radius)
+
+    normal = smallest_eigenvector_sym3(cov)
+    eye = jnp.eye(3, dtype=pts.dtype)
+    cov_reg = eye - (1.0 - epsilon) * jnp.einsum("ni,nj->nij", normal, normal)
+    # need ≥3 neighbors (the point itself is always in-radius)
+    enough = count >= 3
+    return jnp.where(enough[:, None, None] & cloud.mask[:, None, None], cov_reg, eye)

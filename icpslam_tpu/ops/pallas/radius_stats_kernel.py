@@ -1,0 +1,183 @@
+"""Pallas TPU kernel: fixed-radius neighborhood moment statistics.
+
+For every query point, accumulate over all (masked) target points within
+radius r: the neighbor count, coordinate sum Σp, and second moment Σppᵀ.
+That is exactly the sufficient statistic for a neighborhood covariance —
+so GICP surface normals need **no k-NN / top-k at all**: the whole
+reduction is, per (target, query) tile,
+
+    d² = |t|² − 2·tᵀq + |q|²        (matmul + VPU)
+    w  = 1[d² < r²]                  (VPU mask)
+    acc += F @ w                     (one (16, BT)x(BT, BQ) MXU matmul)
+
+where F carries the target features [1, x, y, z, xx, yy, zz, xy, xz, yz]
+(padded to 16 rows for sublane alignment). Accumulators live in VMEM
+across the target sweep (revisited-output pattern, like the fused NN
+kernel). One pass, MXU-bound, ~the cost of a single NN query — versus the
+multi-millisecond top-k path it replaces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BQ = 256
+DEFAULT_BT = 512
+N_FEATS = 10  # 1 + 3 + 6
+N_ROWS = 16   # padded feature rows
+
+
+def _stats_kernel(qT_ref, tT_ref, tn2_ref, feats_ref, acc_ref, *, r2: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    qT = qT_ref[:, :]  # (8, BQ)
+    qn2 = jnp.sum(qT * qT, axis=0, keepdims=True)  # (1, BQ)
+    cross = jax.lax.dot_general(
+        tT_ref[:, :], qT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BT, BQ)
+    d2 = tn2_ref[0, :][:, None] - 2.0 * cross + qn2
+    w = (d2 < r2).astype(jnp.float32)  # masked targets have tn2=+inf → 0
+    acc_ref[:, :] += jax.lax.dot_general(
+        feats_ref[:, :], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "bq", "bt", "interpret"))
+def radius_moments(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    radius: float,
+    bq: int = DEFAULT_BQ,
+    bt: int = DEFAULT_BT,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-query neighborhood moments within ``radius``.
+
+    query: (N, 3); target: (M, 3); target_mask: (M,).
+    Returns ``(count (N,), mean (N, 3), cov (N, 3, 3))`` where cov is the
+    centered second moment (population covariance) of the in-radius
+    targets; zero count → zero mean/cov.
+    """
+    n = query.shape[0]
+    m = target.shape[0]
+    if n % bq or m % bt:
+        raise ValueError(f"shapes ({n},{m}) not divisible by tiles ({bq},{bt})")
+
+    qT = jnp.zeros((8, n), jnp.float32).at[:3, :].set(query.T)
+    tT = jnp.zeros((8, m), jnp.float32).at[:3, :].set(target.T)
+    tn2 = jnp.sum(target * target, axis=-1)
+    tn2 = jnp.where(target_mask, tn2, jnp.inf)[None, :]
+
+    x, y, z = target[:, 0], target[:, 1], target[:, 2]
+    feats = jnp.zeros((N_ROWS, m), jnp.float32)
+    feats = feats.at[0].set(1.0)
+    feats = feats.at[1].set(x).at[2].set(y).at[3].set(z)
+    feats = feats.at[4].set(x * x).at[5].set(y * y).at[6].set(z * z)
+    feats = feats.at[7].set(x * y).at[8].set(x * z).at[9].set(y * z)
+
+    acc = pl.pallas_call(
+        functools.partial(_stats_kernel, r2=float(radius) * float(radius)),
+        grid=(n // bq, m // bt),
+        in_specs=[
+            pl.BlockSpec((8, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_ROWS, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (N_ROWS, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N_ROWS, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * (8 + N_ROWS) + 4 * n * m,
+            bytes_accessed=(8 * n + (8 + 1 + N_ROWS) * m + N_ROWS * n) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qT, tT, tn2, feats)
+
+    count = acc[0]
+    safe = jnp.maximum(count, 1.0)
+    mean = (acc[1:4] / safe).T  # (N, 3)
+    xx, yy, zz = acc[4] / safe, acc[5] / safe, acc[6] / safe
+    xy, xz, yz = acc[7] / safe, acc[8] / safe, acc[9] / safe
+    second = jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], -1),
+            jnp.stack([xy, yy, yz], -1),
+            jnp.stack([xz, yz, zz], -1),
+        ],
+        axis=-2,
+    )  # (N, 3, 3) E[ppᵀ]
+    cov = second - mean[:, :, None] * mean[:, None, :]
+    has = count > 0
+    return (
+        count,
+        jnp.where(has[:, None], mean, 0.0),
+        jnp.where(has[:, None, None], cov, 0.0),
+    )
+
+
+def radius_moments_xla(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    radius: float,
+    block: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """XLA fallback with identical semantics (blocked over queries)."""
+    m = target.shape[0]
+    tn2 = jnp.sum(target * target, axis=-1)
+    tn2 = jnp.where(target_mask, tn2, jnp.inf)
+    n = query.shape[0]
+    npad = (n + block - 1) // block * block
+    qpad = jnp.pad(query, ((0, npad - n), (0, 0)))
+    qblocks = qpad.reshape(npad // block, block, 3)
+    r2 = radius * radius
+
+    x, y, z = target[:, 0], target[:, 1], target[:, 2]
+    feats = jnp.stack(
+        [jnp.ones_like(x), x, y, z, x * x, y * y, z * z, x * y, x * z, y * z]
+    )  # (10, M)
+
+    def one(qb):
+        cross = jnp.dot(qb, target.T, preferred_element_type=jnp.float32)
+        d2 = jnp.sum(qb * qb, -1)[:, None] - 2.0 * cross + tn2[None, :]
+        w = (d2 < r2).astype(jnp.float32)
+        return jnp.dot(feats, w.T, preferred_element_type=jnp.float32)  # (10, B)
+
+    acc = jax.lax.map(one, qblocks)  # (nb, 10, B)
+    acc = jnp.moveaxis(acc, 1, 0).reshape(10, npad)[:, :n]
+    count = acc[0]
+    safe = jnp.maximum(count, 1.0)
+    mean = (acc[1:4] / safe).T
+    xx, yy, zz = acc[4] / safe, acc[5] / safe, acc[6] / safe
+    xy, xz, yz = acc[7] / safe, acc[8] / safe, acc[9] / safe
+    second = jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], -1),
+            jnp.stack([xy, yy, yz], -1),
+            jnp.stack([xz, yz, zz], -1),
+        ],
+        axis=-2,
+    )
+    cov = second - mean[:, :, None] * mean[:, None, :]
+    has = count > 0
+    return (
+        count,
+        jnp.where(has[:, None], mean, 0.0),
+        jnp.where(has[:, None, None], cov, 0.0),
+    )

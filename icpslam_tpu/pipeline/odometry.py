@@ -32,6 +32,17 @@ from icpslam_tpu.geometry.se3 import Pose
 from icpslam_tpu.ops import covariance as cov_ops
 from icpslam_tpu.ops import icp as icp_ops
 
+def compute_covariances(cloud, icfg):
+    """Covariances for a cloud per the ICP config (radius or knn mode)."""
+    if icfg.covariance_mode == "radius":
+        return cov_ops.gicp_covariances_radius(
+            cloud, radius=icfg.covariance_radius, epsilon=icfg.covariance_epsilon
+        )
+    return cov_ops.gicp_covariances(
+        cloud, k=icfg.covariance_knn, epsilon=icfg.covariance_epsilon
+    )
+
+
 
 class OdometryState(NamedTuple):
     initialized: jnp.ndarray   # bool: first cloud stashed
@@ -98,7 +109,7 @@ def odometry_step(
         raw_scan, config.voxel_leaf_size, config.max_points
     )
     covs = (
-        cov_ops.gicp_covariances(filtered, k=icfg.covariance_knn, epsilon=icfg.covariance_epsilon)
+        compute_covariances(filtered, icfg)
         if plane
         else state.prev_covs  # unused placeholder keeps pytree shape static
     )

@@ -232,6 +232,8 @@ def slam_step(
     covs_reusable = (
         config.icp_mapping.mode == "plane"
         and config.icp_odometry.mode == "plane"
+        and config.icp_mapping.covariance_mode == config.icp_odometry.covariance_mode
+        and config.icp_mapping.covariance_radius == config.icp_odometry.covariance_radius
         and config.icp_mapping.covariance_knn == config.icp_odometry.covariance_knn
         and config.icp_mapping.covariance_epsilon == config.icp_odometry.covariance_epsilon
     )

@@ -215,3 +215,49 @@ class TestLinalg3:
         got = np.asarray(eigvals_sym3(jnp.asarray(A)))
         expect = np.linalg.eigvalsh(A)
         np.testing.assert_allclose(got, expect, atol=1e-3, rtol=1e-3)
+
+
+class TestRadiusCovariance:
+    def test_moments_match_bruteforce(self):
+        from icpslam_tpu.ops.pallas import radius_stats_kernel as rsk
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(-2, 2, (256, 3)).astype(np.float32)
+        mask = np.ones(256, bool)
+        mask[250:] = False
+        r = 0.6
+        count, mean, cov = rsk.radius_moments_xla(
+            jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(mask), r
+        )
+        for i in [0, 17, 99]:
+            d = np.linalg.norm(pts[mask] - pts[i], axis=-1)
+            nb = pts[mask][d < r]
+            assert int(count[i]) == len(nb)
+            np.testing.assert_allclose(np.asarray(mean[i]), nb.mean(0), atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(cov[i]), np.cov(nb.T, bias=True), atol=1e-4
+            )
+
+    def test_pallas_interpret_matches_xla(self):
+        from icpslam_tpu.ops.pallas import radius_stats_kernel as rsk
+        rng = np.random.RandomState(1)
+        pts = jnp.asarray(rng.uniform(-2, 2, (256, 3)), jnp.float32)
+        mask = jnp.ones(256, bool)
+        ref = rsk.radius_moments_xla(pts, pts, mask, 0.5)
+        got = rsk.radius_moments(pts, pts, mask, 0.5, bq=256, bt=128, interpret=True)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_planar_normals(self):
+        rng = np.random.RandomState(2)
+        plane = np.c_[rng.uniform(-1, 1, (256, 2)), np.zeros(256)].astype(np.float32)
+        cloud = pc.from_points(plane, capacity=256)
+        covs = covariance.gicp_covariances_radius(cloud, radius=0.4)
+        vals, vecs = np.linalg.eigh(np.asarray(covs))
+        np.testing.assert_allclose(np.abs(vecs[:, 2, 0]), 1.0, atol=1e-2)
+
+    def test_sparse_points_identity(self):
+        # isolated points (< 3 neighbors in radius) get identity covariance
+        pts = np.array([[0, 0, 0], [10, 0, 0], [20, 0, 0]], np.float32)
+        cloud = pc.from_points(pts, capacity=4)
+        covs = np.asarray(covariance.gicp_covariances_radius(cloud, radius=0.5))
+        np.testing.assert_allclose(covs[:3], np.broadcast_to(np.eye(3), (3, 3, 3)))

@@ -56,6 +56,66 @@ def make_room_world(
     return np.concatenate(parts).astype(np.float32)
 
 
+def make_street_grid_world(
+    seed: int = 0,
+    n_points: int = 60000,
+    blocks: int = 2,
+    block_size: float = 24.0,
+    street_width: float = 8.0,
+    height: float = 6.0,
+) -> np.ndarray:
+    """City-like world: a grid of building blocks separated by streets —
+    ground plane + building walls. Supports long multi-loop trajectories
+    (the KITTI-00-style workload of BASELINE config 3)."""
+    rng = np.random.RandomState(seed)
+    pitch = block_size + street_width
+    extent = blocks * pitch + street_width
+    n_ground = n_points // 3
+    parts = [
+        np.c_[rng.uniform(0, extent, (n_ground, 2)), np.zeros(n_ground)]
+    ]
+    n_wall_pts = (n_points - n_ground) // (blocks * blocks * 4)
+    for bx in range(blocks):
+        for by in range(blocks):
+            x0 = street_width + bx * pitch
+            y0 = street_width + by * pitch
+            x1, y1 = x0 + block_size, y0 + block_size
+            walls = [
+                np.c_[rng.uniform(x0, x1, n_wall_pts), np.full(n_wall_pts, y0),
+                      rng.uniform(0, height, n_wall_pts)],
+                np.c_[rng.uniform(x0, x1, n_wall_pts), np.full(n_wall_pts, y1),
+                      rng.uniform(0, height, n_wall_pts)],
+                np.c_[np.full(n_wall_pts, x0), rng.uniform(y0, y1, n_wall_pts),
+                      rng.uniform(0, height, n_wall_pts)],
+                np.c_[np.full(n_wall_pts, x1), rng.uniform(y0, y1, n_wall_pts),
+                      rng.uniform(0, height, n_wall_pts)],
+            ]
+            parts.extend(walls)
+    return np.concatenate(parts).astype(np.float32)
+
+
+def make_figure_eight_trajectory(
+    n_poses: int = 120,
+    radius: float = 16.0,
+    center: Tuple[float, float] = (20.0, 20.0),
+    z: float = 1.2,
+) -> "se3.Pose":
+    """Figure-eight (lemniscate of Gerono) — self-intersecting, so loop
+    closures fire away from the start as well."""
+    t = np.linspace(0, 2 * np.pi, n_poses, endpoint=False)
+    x = center[0] + radius * np.sin(t)
+    y = center[1] + radius * np.sin(t) * np.cos(t)
+    dx = radius * np.cos(t)
+    dy = radius * (np.cos(t) ** 2 - np.sin(t) ** 2)
+    yaw = np.arctan2(dy, dx)
+    pos = np.c_[x, y, np.full(n_poses, z)]
+    q = np.stack(
+        [np.cos(yaw / 2), np.zeros_like(yaw), np.zeros_like(yaw), np.sin(yaw / 2)],
+        axis=-1,
+    )
+    return se3.Pose(t=jnp.asarray(pos, jnp.float32), q=jnp.asarray(q, jnp.float32))
+
+
 def make_loop_trajectory(
     n_poses: int = 60,
     radius: float = 6.0,

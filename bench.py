@@ -33,6 +33,7 @@ def main() -> int:
     ap.add_argument("--scans", type=int, default=30, help="timed scans")
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--suite", action="store_true", help="also report graph-solve latency (stderr)")
     args = ap.parse_args()
 
     import jax
@@ -95,7 +96,67 @@ def main() -> int:
         "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 3),
     }
     print(json.dumps(result))
+
+    if args.suite:
+        # secondary metrics (stderr — stdout stays one JSON line)
+        _bench_suite(jax, np)
     return 0
+
+
+def _bench_suite(jax, np):
+    """Graph-solve latency and full-pipeline throughput (BASELINE.md's
+    secondary metrics); printed to stderr."""
+    import jax.numpy as jnp
+
+    from icpslam_tpu.geometry import se3
+    from icpslam_tpu.graph import pose_graph as pg
+
+    K, E = 512, 2048
+    rng = np.random.RandomState(0)
+    ii = np.arange(E) % (K - 1)
+    edges = pg.EdgeSet(
+        i=jnp.asarray(ii, jnp.int32),
+        j=jnp.asarray(ii + 1, jnp.int32),
+        rel_t=jnp.asarray(rng.randn(E, 3) * 0.1, jnp.float32),
+        rel_q=se3.identity((E,)).q,
+        info=jnp.broadcast_to(100 * jnp.eye(6), (E, 6, 6)),
+        valid=jnp.ones(E, bool),
+        count=jnp.asarray(E, jnp.int32),
+        overflow=jnp.asarray(0, jnp.int32),
+    )
+    mask = jnp.ones(K, bool)
+
+    def mknodes(seed):
+        r = np.random.RandomState(seed)
+        return se3.Pose(
+            t=jnp.asarray(r.randn(K, 3), jnp.float32) * 5,
+            q=se3.identity((K,)).q,
+        )
+
+    nodes_list = [mknodes(s) for s in range(12)]
+    for name, solver in (("direct", "direct"), ("pcg", "pcg")):
+        f = jax.jit(
+            lambda n: pg.optimize(
+                n, edges, mask, iterations=5, mode="lm", linear_solver=solver
+            )
+        )
+        out = f(nodes_list[-1])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for n in nodes_list[:10]:
+            out = f(n)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / 10 * 1000
+        print(
+            json.dumps(
+                {
+                    "metric": f"pose_graph_solve_ms_{name}",
+                    "value": round(ms, 2),
+                    "unit": "ms (K=512, E=2048, 5 LM iters)",
+                }
+            ),
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -99,3 +99,33 @@ class TestSlamPipeline:
         sizes = [int(o.map_size) for o in outs]
         # without resets the map never shrinks
         assert all(b >= a for a, b in zip(sizes, sizes[1:]))
+
+
+class TestRobustness:
+    def test_empty_and_degenerate_scans_survive(self):
+        # SURVEY §5.3: graceful degradation — garbage in, no crash/NaN out
+        cfg = slam_cfg()
+        world = synthetic.make_room_world(seed=5, n_points=8000)
+        gt = synthetic.make_loop_trajectory(n_poses=6, radius=5.0, laps=0.3)
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        state = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        scans = list(synthetic.scan_stream(world, gt, capacity=cfg.max_raw_points, n_points=800, seed=5))
+        from icpslam_tpu import cloud as pcl
+        import numpy as _np
+
+        # normal, empty, all-same-point, normal, NaN-free huge coords, normal
+        degenerate = [
+            scans[0],
+            pcl.empty(cfg.max_raw_points),
+            pcl.from_points(_np.zeros((100, 3), _np.float32), capacity=cfg.max_raw_points),
+            scans[1],
+            pcl.from_points(_np.full((50, 3), 1e6, _np.float32), capacity=cfg.max_raw_points),
+            scans[2],
+        ]
+        for scan in degenerate:
+            state, out = step(state, scan, cfg)
+            assert not bool(jnp.any(jnp.isnan(state.slam_pose.t)))
+            assert not bool(jnp.any(jnp.isnan(state.odom.pose.t)))
+        # pipeline still works after the garbage
+        state, out = step(state, scans[3], cfg)
+        assert not bool(jnp.any(jnp.isnan(out.pose_map.t)))

@@ -193,6 +193,60 @@ def se3_log(p: Pose) -> jnp.ndarray:
     return jnp.concatenate([rho, w], axis=-1)
 
 
+def _se3_Q(xi: jnp.ndarray) -> jnp.ndarray:
+    """Barfoot's Q(ξ) matrix — the off-diagonal block of the SE(3) left
+    Jacobian at ξ = [ρ, φ] (..., 6) → (..., 3, 3). Taylor-guarded."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    P = _skew(rho)
+    W = _skew(phi)
+    theta2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
+    small = theta2 < 1e-8
+    t2 = jnp.where(small, 1.0, theta2)
+    t = jnp.sqrt(t2)
+    # c1 = (θ−sinθ)/θ³ ; c2 = (1−θ²/2−cosθ)/θ⁴ ; c3 = (θ−sinθ−θ³/6)/θ⁵
+    c1 = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (t - jnp.sin(t)) / (t2 * t))
+    c2 = jnp.where(
+        small,
+        -1.0 / 24.0 + theta2 / 720.0,
+        (1.0 - theta2 / 2.0 - jnp.cos(t)) / (t2 * t2),
+    )
+    c3 = jnp.where(
+        small,
+        -1.0 / 120.0 + theta2 / 5040.0,
+        (t - jnp.sin(t) - t2 * t / 6.0) / (t2 * t2 * t),
+    )
+    WP = W @ P
+    PW = P @ W
+    WPW = WP @ W
+    W2 = W @ W
+    return (
+        0.5 * P
+        + c1 * (WP + PW + WPW)
+        - c2 * (W2 @ P + P @ W2 - 3.0 * WPW)
+        - 0.5 * (c2 - 3.0 * c3) * (WP @ W2 + W2 @ PW)
+    )
+
+
+def se3_left_jacobian_inv(xi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse left Jacobian of SE(3) at twist ξ (..., 6) → (..., 6, 6).
+
+    Jl⁻¹(ξ) = [[Jl⁻¹(φ), −Jl⁻¹(φ) Q(ξ) Jl⁻¹(φ)], [0, Jl⁻¹(φ)]].
+    """
+    phi = xi[..., 3:]
+    Jli = _so3_left_jacobian_inv(phi)
+    Q = _se3_Q(xi)
+    top_right = -(Jli @ Q @ Jli)
+    zero = jnp.zeros_like(Jli)
+    top = jnp.concatenate([Jli, top_right], axis=-1)
+    bottom = jnp.concatenate([zero, Jli], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_right_jacobian_inv(xi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse right Jacobian: Jr⁻¹(ξ) = Jl⁻¹(−ξ)."""
+    return se3_left_jacobian_inv(-xi)
+
+
 def adjoint(p: Pose) -> jnp.ndarray:
     """Adjoint matrix (..., 6, 6) mapping twists between frames:
     Ad(T) @ xi satisfies T·exp(xi)·T⁻¹ = exp(Ad(T) xi)."""

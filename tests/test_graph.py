@@ -175,3 +175,30 @@ class TestPCGSolver:
         )
         np.testing.assert_allclose(np.asarray(opt.t[4:]), 0.0, atol=1e-6)
         assert not np.any(np.isnan(np.asarray(opt.t)))
+
+
+class TestAnalyticJacobians:
+    def test_match_autodiff(self):
+        rng = np.random.RandomState(11)
+        n = 10
+        nodes = Pose(
+            t=jnp.asarray(rng.randn(n, 3) * 3, jnp.float32),
+            q=se3.so3_exp(jnp.asarray(rng.randn(n, 3) * 0.8, jnp.float32)),
+        )
+        edges = pg.empty_edges(16)
+        for k in range(n - 1):
+            rel = se3.compose(
+                se3.relative(se3.index(nodes, k), se3.index(nodes, k + 1)),
+                se3.se3_exp(jnp.asarray(rng.randn(6) * 0.1, jnp.float32)),
+            )
+            edges = pg.add_edge(edges, k, k + 1, rel, 100 * jnp.eye(6))
+        r1, Ji1, Jj1 = pg._edge_jacobians(nodes, edges)
+        r2, Ji2, Jj2 = pg._edge_jacobians_autodiff(nodes, edges)
+        live = np.asarray(edges.valid)
+        np.testing.assert_allclose(np.asarray(r1)[live], np.asarray(r2)[live], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Ji1)[live], np.asarray(Ji2)[live], atol=2e-3)
+        np.testing.assert_allclose(np.asarray(Jj1)[live], np.asarray(Jj2)[live], atol=2e-3)
+
+    def test_jr_inv_identity_at_zero(self):
+        J = se3.se3_right_jacobian_inv(jnp.zeros(6))
+        np.testing.assert_allclose(np.asarray(J), np.eye(6), atol=1e-6)

@@ -94,13 +94,22 @@ def knn(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN: returns (idx (N, k) int32, dist2 (N, k)).
 
-    ``approx=True`` uses ``jax.lax.approx_max_k`` — the TPU-native
-    approximate top-k (recall ~0.95+), appropriate for statistics like
-    GICP covariance neighborhoods. Exact ``top_k`` otherwise.
+    On TPU with tile-divisible shapes, dispatches to the exact fused
+    Pallas k-NN (k successive exclusion passes) — both faster and exact.
+    Otherwise: ``approx=True`` uses ``jax.lax.approx_max_k`` (recall
+    ~0.95+, fine for neighborhood statistics), exact ``top_k`` else.
 
     Invalid targets sort last with +inf distance; if fewer than k valid
     targets exist the trailing neighbors have inf dist2 (callers mask).
     """
+    from icpslam_tpu.ops.pallas import nn_kernel
+
+    if (
+        jax.default_backend() == "tpu"
+        and query.shape[0] % nn_kernel.DEFAULT_BQ == 0
+        and target.shape[0] % nn_kernel.DEFAULT_BT == 0
+    ):
+        return nn_kernel.knn_pallas(query, target, target_mask, k)
     n = query.shape[0]
     np_ = _pad_blocks(n, block)
     qpad = jnp.pad(query, ((0, np_ - n), (0, 0)))

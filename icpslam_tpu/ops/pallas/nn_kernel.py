@@ -123,3 +123,104 @@ def nearest_neighbors_pallas(
     d2_out = jnp.maximum(d2[0], 0.0)
     d2_out = jnp.where(jnp.isfinite(d2[0]), d2_out, d2[0])
     return NNResult(idx=idx[0], dist2=d2_out)
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN: k successive 1-NN passes, each excluding previous winners
+# ---------------------------------------------------------------------------
+
+
+def _nn_excl_kernel(qT_ref, tT_ref, tn2_ref, excl_ref, idx_ref, d2_ref, *, bt: int):
+    """1-NN pass that skips, per query, the target indices in excl_ref.
+
+    excl_ref: (KEX, BQ) int32 — previously found neighbors (-1 = none).
+    Layout identical to ``_nn_kernel`` otherwise.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        d2_ref[:, :] = jnp.full_like(d2_ref, jnp.inf)
+        idx_ref[:, :] = jnp.zeros_like(idx_ref)
+
+    qT = qT_ref[:, :]
+    qn2 = jnp.sum(qT * qT, axis=0, keepdims=True)
+    cross = jax.lax.dot_general(
+        tT_ref[:, :], qT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BT, BQ)
+    d2 = tn2_ref[0, :][:, None] - 2.0 * cross + qn2
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + j * bt
+    kex = excl_ref.shape[0]
+    excluded = jnp.zeros(d2.shape, dtype=bool)
+    for p in range(kex):
+        excluded = excluded | (t_idx == excl_ref[p, :][None, :])
+    d2 = jnp.where(excluded, jnp.inf, d2)
+    local_min = jnp.min(d2, axis=0)
+    local_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + j * bt
+
+    best_d2 = d2_ref[0, :]
+    best_idx = idx_ref[0, :]
+    better = local_min < best_d2
+    d2_ref[0, :] = jnp.where(better, local_min, best_d2)
+    idx_ref[0, :] = jnp.where(better, local_arg, best_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bq", "bt", "interpret"))
+def knn_pallas(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    k: int,
+    bq: int = DEFAULT_BQ,
+    bt: int = DEFAULT_BT,
+    interpret: bool = False,
+):
+    """Exact k-NN as k fused passes; each pass excludes earlier winners.
+
+    Returns (idx (N, k) int32, dist2 (N, k)) sorted ascending by distance.
+    Cost ≈ k × the 1-NN kernel — still far below a materialized top-k at
+    scan sizes, and exact (unlike ``approx_max_k``).
+    """
+    n = query.shape[0]
+    m = target.shape[0]
+    if n % bq or m % bt:
+        raise ValueError(f"shapes ({n},{m}) not divisible by tiles ({bq},{bt})")
+
+    qT = jnp.zeros((8, n), jnp.float32).at[:3, :].set(query.T)
+    tT = jnp.zeros((8, m), jnp.float32).at[:3, :].set(target.T)
+    tn2 = jnp.sum(target * target, axis=-1)
+    tn2 = jnp.where(target_mask, tn2, jnp.inf)[None, :]
+
+    call = pl.pallas_call(
+        functools.partial(_nn_excl_kernel, bt=bt),
+        grid=(n // bq, m // bt),
+        in_specs=[
+            pl.BlockSpec((8, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    excl = jnp.full((k, n), -1, jnp.int32)
+    idxs = []
+    d2s = []
+    for p in range(k):
+        idx, d2 = call(qT, tT, tn2, excl)
+        idxs.append(idx[0])
+        d2s.append(d2[0])
+        excl = excl.at[p].set(idx[0])
+    idx = jnp.stack(idxs, axis=-1)
+    d2 = jnp.stack(d2s, axis=-1)
+    d2 = jnp.where(jnp.isfinite(d2), jnp.maximum(d2, 0.0), d2)
+    return idx, d2

@@ -43,3 +43,31 @@ class TestPallasNN:
         t = jnp.ones((512, 3))
         res = nn_ops.nearest_neighbors(q, t, jnp.ones(512, bool))
         assert res.idx.shape == (256,)
+
+
+class TestPallasKNN:
+    def test_matches_bruteforce(self):
+        from icpslam_tpu.ops.pallas.nn_kernel import knn_pallas
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(256, 3), jnp.float32)
+        t = jnp.asarray(rng.randn(256, 3), jnp.float32)
+        tm = jnp.asarray(rng.rand(256) > 0.1)
+        idx, d2 = knn_pallas(q, t, tm, k=5, bq=256, bt=128, interpret=True)
+        d_full = ((np.asarray(q)[:, None] - np.asarray(t)[None]) ** 2).sum(-1)
+        d_full[:, ~np.asarray(tm)] = np.inf
+        np.testing.assert_array_equal(
+            np.asarray(idx), np.argsort(d_full, axis=1)[:, :5]
+        )
+        np.testing.assert_allclose(
+            np.asarray(d2), np.sort(d_full, axis=1)[:, :5], atol=1e-4
+        )
+
+    def test_fewer_valid_than_k(self):
+        from icpslam_tpu.ops.pallas.nn_kernel import knn_pallas
+        q = jnp.zeros((256, 3))
+        t = jnp.ones((128, 3))
+        tm = jnp.zeros(128, bool).at[0].set(True).at[1].set(True)
+        idx, d2 = knn_pallas(q, t, tm, k=4, bq=256, bt=128, interpret=True)
+        # only 2 valid targets → trailing neighbors are inf
+        assert np.all(np.isfinite(np.asarray(d2)[:, :2]))
+        assert np.all(np.isinf(np.asarray(d2)[:, 2:]))

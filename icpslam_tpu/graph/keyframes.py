@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from icpslam_tpu.cloud import pointcloud as pc

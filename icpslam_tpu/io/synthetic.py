@@ -12,12 +12,11 @@ jitted pipeline as padded ``PointCloud``s.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 
 from icpslam_tpu.cloud import pointcloud as pc
-from icpslam_tpu.geometry import quaternion as quat
 from icpslam_tpu.geometry import se3
 
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ the empty-map and failure branches stay data-dependent but compiled.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,9 +29,6 @@ from icpslam_tpu.config import SlamConfig
 from icpslam_tpu.geometry import se3
 from icpslam_tpu.geometry.se3 import Pose
 from icpslam_tpu.mapping import backend as map_backend
-from icpslam_tpu.mapping import voxel_map as vm
-from icpslam_tpu.ops import covariance as cov_ops
-from icpslam_tpu.ops import nn as nn_ops
 from icpslam_tpu.ops import icp as icp_ops
 
 

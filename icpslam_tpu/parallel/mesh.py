@@ -12,7 +12,7 @@ Axis conventions used across ``parallel/``:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

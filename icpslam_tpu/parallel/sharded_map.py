@@ -22,7 +22,7 @@ could.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -7,14 +7,16 @@ formulation is dense-block and batched:
 - residual per edge: ``r = log(Z⁻¹ · X_i⁻¹ · X_j)`` ∈ se(3), with the
   edge's 6×6 information matrix Ω (configured diagonals,
   ``icpslam.cpp:28-40``)
-- Jacobians wrt right-perturbations of the two incident poses via
-  forward-mode autodiff, vmapped over all edges at once
+- closed-form Jacobians wrt right-perturbations of the two incident
+  poses (SE(3) right-Jacobian inverse; autodiff kept as a test oracle)
 - normal equations assembled as a (K, 6, K, 6) block tensor with
   scatter-adds — for keyframe-scale graphs (K ≤ ~1k) the dense 6K×6K
   Cholesky runs on the MXU faster than any sparse code would
 - gauge freedom fixed by a strong prior on node 0 (g2o's setFixed analog)
 - both solver backends of the reference's intent (launch arg
   ``optimization_backend``): plain GN and LM with adaptive damping
+- three linear solvers: dense Cholesky, matrix-free block-Jacobi PCG,
+  and chunked Schur-complement elimination (``graph/schur.py``)
 
 Distributed (edge-sharded) assembly lives in ``parallel/dist_graph.py``.
 """
@@ -395,14 +397,19 @@ def optimize(
     init_damping: float = 1e-4,
     linear_solver: str = "direct",
     cg_iterations: int = 50,
+    schur_chunk_size: int = 64,
+    schur_sep_capacity: int = 64,
 ) -> Tuple[Pose, SolveStats]:
     """Optimize node poses. ``mode``: 'gn' (fixed GN steps) or 'lm'
     (adaptive damping with accept/reject, g2o-style). ``linear_solver``:
-    'direct' (dense-block Cholesky — fastest for keyframe-scale graphs) or
+    'direct' (dense-block Cholesky — fastest for keyframe-scale graphs),
     'pcg' (matrix-free block-Jacobi preconditioned CG — memory/compute
-    scale with edges instead of K², for very large graphs)."""
+    scale with edges instead of K², for very large graphs), or 'schur'
+    (chunked block elimination: D parallel interior factorizations + one
+    small separator solve; see ``graph/schur.py``)."""
     c0 = graph_cost(nodes, edges)
     pcg = linear_solver == "pcg"
+    use_schur = linear_solver == "schur"
 
     def gn_or_lm_step(nodes, lam):
         if pcg:
@@ -410,6 +417,25 @@ def optimize(
                 nodes, edges, node_mask, lam, cg_iterations=cg_iterations
             )
         H, b = normal_equations(nodes, edges, node_mask)
+        if use_schur:
+            from icpslam_tpu.graph import schur as schur_mod
+
+            K = nodes.t.shape[0]
+            eye6 = jnp.eye(6, dtype=nodes.t.dtype)
+            diag_idx = jnp.arange(K)
+            diag_blocks = H[diag_idx, :, diag_idx, :]
+            scale = jnp.einsum("kii->k", diag_blocks) / 6.0
+            Hd = H.at[diag_idx, :, diag_idx, :].add(
+                (lam * jnp.maximum(scale, 1e-6))[:, None, None] * eye6
+            )
+            sm = schur_mod.separator_mask(
+                edges.i, edges.j, edges.valid, K, schur_chunk_size
+            )
+            res = schur_mod.schur_solve(
+                Hd, -b, sm, schur_chunk_size, schur_sep_capacity
+            )
+            delta = res.delta * node_mask[:, None]
+            return se3.normalize(se3.compose(nodes, se3.se3_exp(delta)))
         new, _ = _solve_and_update(nodes, H, b, lam, node_mask)
         return new
 

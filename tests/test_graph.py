@@ -202,3 +202,52 @@ class TestAnalyticJacobians:
     def test_jr_inv_identity_at_zero(self):
         J = se3.se3_right_jacobian_inv(jnp.zeros(6))
         np.testing.assert_allclose(np.asarray(J), np.eye(6), atol=1e-6)
+
+
+class TestSchurSolver:
+    @pytest.mark.parametrize("mode", ["gn", "lm"])
+    def test_schur_matches_direct(self, mode):
+        n = 16
+        gt = circle_poses(n)
+        rng = np.random.RandomState(12)
+        drift = se3.se3_exp(jnp.asarray(
+            np.cumsum(rng.randn(n, 6) * 0.02, axis=0), jnp.float32))
+        noisy = se3.normalize(se3.compose(gt, drift))
+        edges = build_chain_edges(gt, capacity=32, close_loop=True)
+        # cross-chunk loop closure
+        edges = pg.add_edge(
+            edges, 3, 12,
+            se3.relative(se3.index(gt, 3), se3.index(gt, 12)), 100 * jnp.eye(6),
+        )
+        mask = jnp.ones(n, bool)
+        direct, dstats = pg.optimize(noisy, edges, mask, iterations=12, mode=mode)
+        sch, sstats = pg.optimize(
+            noisy, edges, mask, iterations=12, mode=mode,
+            linear_solver="schur", schur_chunk_size=4, schur_sep_capacity=10,
+        )
+        assert float(sstats.final_cost) < float(sstats.initial_cost) * 1e-3
+        np.testing.assert_allclose(np.asarray(sch.t), np.asarray(direct.t), atol=5e-3)
+
+    def test_separator_mask(self):
+        from icpslam_tpu.graph import schur
+        ei = jnp.array([0, 3, 7], jnp.int32)
+        ej = jnp.array([1, 4, 12], jnp.int32)
+        valid = jnp.array([True, True, False])
+        m = np.asarray(schur.separator_mask(ei, ej, valid, 16, chunk_size=4))
+        # edge 0-1 intra-chunk; 3-4 crosses; 7-12 invalid
+        assert not m[0] and not m[1]
+        assert m[3] and m[4]
+        assert not m[7] and not m[12]
+
+    def test_capacity_overflow_flagged(self):
+        from icpslam_tpu.graph import schur
+        n = 8
+        gt = circle_poses(n)
+        edges = build_chain_edges(gt, capacity=16, close_loop=True)
+        mask = jnp.ones(n, bool)
+        H, b = pg.normal_equations(gt, edges, mask)
+        sm = schur.separator_mask(edges.i, edges.j, edges.valid, n, chunk_size=2)
+        # chain over chunk size 2 → most nodes are separators; cap 2 too small
+        res = schur.schur_solve(H, -b, sm, chunk_size=2, sep_capacity=2)
+        assert not bool(res.ok)
+        assert int(res.n_sep) > 2

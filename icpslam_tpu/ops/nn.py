@@ -94,22 +94,17 @@ def knn(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN: returns (idx (N, k) int32, dist2 (N, k)).
 
-    On TPU with tile-divisible shapes, dispatches to the exact fused
-    Pallas k-NN (k successive exclusion passes) — both faster and exact.
-    Otherwise: ``approx=True`` uses ``jax.lax.approx_max_k`` (recall
-    ~0.95+, fine for neighborhood statistics), exact ``top_k`` else.
+    ``approx=True`` uses ``jax.lax.approx_max_k`` — the TPU-native
+    approximate top-k (recall ~0.95+), appropriate for statistics like
+    GICP covariance neighborhoods; exact ``top_k`` otherwise. (An exact
+    Pallas k-NN via exclusion passes exists in ``ops.pallas.nn_kernel.
+    knn_pallas`` but measured *slower* than ``approx_max_k`` in the
+    covariance path — k kernel launches outweigh the top-k — so it is
+    opt-in, not dispatched here.)
 
     Invalid targets sort last with +inf distance; if fewer than k valid
     targets exist the trailing neighbors have inf dist2 (callers mask).
     """
-    from icpslam_tpu.ops.pallas import nn_kernel
-
-    if (
-        jax.default_backend() == "tpu"
-        and query.shape[0] % nn_kernel.DEFAULT_BQ == 0
-        and target.shape[0] % nn_kernel.DEFAULT_BT == 0
-    ):
-        return nn_kernel.knn_pallas(query, target, target_mask, k)
     n = query.shape[0]
     np_ = _pad_blocks(n, block)
     qpad = jnp.pad(query, ((0, np_ - n), (0, 0)))

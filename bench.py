@@ -99,8 +99,38 @@ def main() -> int:
 
     if args.suite:
         # secondary metrics (stderr — stdout stays one JSON line)
+        _bench_full_slam(jax, np, cfg, scans, gt)
         _bench_suite(jax, np)
     return 0
+
+
+def _bench_full_slam(jax, np, cfg, scans, gt):
+    """Full slam_step throughput (odometry + scan-to-map + keyframes/graph)
+    on the same scan stream as the headline; printed to stderr."""
+    from icpslam_tpu.geometry import se3
+    from icpslam_tpu.pipeline import slam
+
+    step = jax.jit(slam.slam_step, static_argnums=(2,), donate_argnums=(0,))
+    state = slam.init_state(cfg, se3.index(gt, 0))
+    n_warm = min(3, len(scans) - 1)
+    for i in range(n_warm):
+        state, out = step(state, scans[i], cfg)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(n_warm, len(scans)):
+        state, out = step(state, scans[i], cfg)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "full_slam_step_scans_per_sec",
+                "value": round((len(scans) - n_warm) / dt, 3),
+                "unit": "scans/s (incl. scan-to-map + keyframes + graph)",
+            }
+        ),
+        file=sys.stderr,
+    )
 
 
 def _bench_suite(jax, np):

@@ -38,9 +38,12 @@ class IcpConfig:
     # 'knn': PCL-style k nearest neighbors (default — smoother normals,
     # lets ICP early-exit); 'radius': fixed-radius moment statistics in
     # one fused Pallas pass (cheaper per call; normals are noisier at the
-    # radius cutoff, which tends to cost ICP iterations)
+    # radius cutoff, which tends to cost ICP iterations). With
+    # covariance_sigma > 0 the radius pass applies a Gaussian distance
+    # taper — near neighbors dominate like in kNN mode, at radius cost.
     covariance_mode: str = "knn"
     covariance_radius: float = 0.5   # meters (~2.5 voxel leaves)
+    covariance_sigma: float = 0.0    # Gaussian taper σ for radius mode (0 = hard cutoff)
     covariance_knn: int = 10
     covariance_epsilon: float = 1e-3
     # 'point' (Kabsch point-to-point) or 'plane' (GICP-style plane-to-plane GN)

@@ -63,6 +63,7 @@ def gicp_covariances_radius(
     cloud: PointCloud,
     radius: float,
     epsilon: float = 1e-3,
+    sigma: float = 0.0,
 ) -> jnp.ndarray:
     """GICP covariances from *fixed-radius* neighborhoods — no top-k.
 
@@ -72,6 +73,11 @@ def gicp_covariances_radius(
     ``I − (1−ε)·n nᵀ`` regularization follow as in the k-NN variant. On
     voxel-downsampled clouds a radius of ~2-3 leaf sizes yields the same
     ~10-20 neighbors PCL's k-NN would find, at a fraction of the cost.
+
+    ``sigma > 0`` applies a Gaussian distance taper inside the radius
+    (still one fused pass) — near neighbors dominate the normal estimate
+    like in kNN mode, removing the hard-cutoff noise of the plain radius
+    weight at no extra memory traffic.
     """
     from icpslam_tpu.ops.pallas import radius_stats_kernel as rsk
 
@@ -82,11 +88,13 @@ def gicp_covariances_radius(
         and pts.shape[0] % rsk.DEFAULT_BT == 0
     )
     fn = rsk.radius_moments if use_pallas else rsk.radius_moments_xla
-    count, _, cov = fn(pts, pts, cloud.mask, radius)
+    count, _, cov = fn(pts, pts, cloud.mask, radius, sigma=sigma)
 
     normal = smallest_eigenvector_sym3(cov)
     eye = jnp.eye(3, dtype=pts.dtype)
     cov_reg = eye - (1.0 - epsilon) * jnp.einsum("ni,nj->nij", normal, normal)
-    # need ≥3 neighbors (the point itself is always in-radius)
-    enough = count >= 3
+    # need ≥3 neighbors (the point itself is always in-radius; with a
+    # Gaussian taper `count` is the effective weight sum Σw, so the
+    # equivalent threshold is lower — the self-weight alone is 1)
+    enough = count >= (2.0 if sigma > 0 else 3.0)
     return jnp.where(enough[:, None, None] & cloud.mask[:, None, None], cov_reg, eye)

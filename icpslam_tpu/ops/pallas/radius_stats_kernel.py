@@ -33,7 +33,8 @@ N_FEATS = 10  # 1 + 3 + 6
 N_ROWS = 16   # padded feature rows
 
 
-def _stats_kernel(qT_ref, tT_ref, tn2_ref, feats_ref, acc_ref, *, r2: float):
+def _stats_kernel(qT_ref, tT_ref, tn2_ref, feats_ref, acc_ref, *, r2: float,
+                  inv2s2: float):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -47,19 +48,28 @@ def _stats_kernel(qT_ref, tT_ref, tn2_ref, feats_ref, acc_ref, *, r2: float):
         preferred_element_type=jnp.float32,
     )  # (BT, BQ)
     d2 = tn2_ref[0, :][:, None] - 2.0 * cross + qn2
-    w = (d2 < r2).astype(jnp.float32)  # masked targets have tn2=+inf → 0
+    inside = d2 < r2  # masked targets have tn2=+inf → False
+    if inv2s2 > 0.0:
+        # Gaussian taper inside the truncation radius: smooth weights give
+        # kNN-quality normals at hard-radius cost (one VPU exp per pair).
+        w = jnp.where(inside, jnp.exp(-jnp.minimum(d2, r2) * inv2s2), 0.0)
+    else:
+        w = inside.astype(jnp.float32)
     acc_ref[:, :] += jax.lax.dot_general(
         feats_ref[:, :], w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "bq", "bt", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "sigma", "bq", "bt", "interpret")
+)
 def radius_moments(
     query: jnp.ndarray,
     target: jnp.ndarray,
     target_mask: jnp.ndarray,
     radius: float,
+    sigma: float = 0.0,
     bq: int = DEFAULT_BQ,
     bt: int = DEFAULT_BT,
     interpret: bool = False,
@@ -70,6 +80,12 @@ def radius_moments(
     Returns ``(count (N,), mean (N, 3), cov (N, 3, 3))`` where cov is the
     centered second moment (population covariance) of the in-radius
     targets; zero count → zero mean/cov.
+
+    ``sigma > 0`` switches from a hard indicator to a radius-truncated
+    Gaussian weight ``exp(−d²/2σ²)`` — distant in-radius points contribute
+    less, which smooths the implied surface normal the way kNN's adaptive
+    neighborhood does (count becomes the *effective* weight sum Σw, and
+    mean/cov the weighted statistics).
     """
     n = query.shape[0]
     m = target.shape[0]
@@ -88,8 +104,11 @@ def radius_moments(
     feats = feats.at[4].set(x * x).at[5].set(y * y).at[6].set(z * z)
     feats = feats.at[7].set(x * y).at[8].set(x * z).at[9].set(y * z)
 
+    inv2s2 = 0.0 if sigma <= 0 else 1.0 / (2.0 * float(sigma) ** 2)
     acc = pl.pallas_call(
-        functools.partial(_stats_kernel, r2=float(radius) * float(radius)),
+        functools.partial(
+            _stats_kernel, r2=float(radius) * float(radius), inv2s2=inv2s2
+        ),
         grid=(n // bq, m // bt),
         in_specs=[
             pl.BlockSpec((8, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -104,7 +123,7 @@ def radius_moments(
         cost_estimate=pl.CostEstimate(
             flops=2 * n * m * (8 + N_ROWS) + 4 * n * m,
             bytes_accessed=(8 * n + (8 + 1 + N_ROWS) * m + N_ROWS * n) * 4,
-            transcendentals=0,
+            transcendentals=0 if inv2s2 == 0.0 else n * m,
         ),
         interpret=interpret,
     )(qT, tT, tn2, feats)
@@ -136,6 +155,7 @@ def radius_moments_xla(
     target: jnp.ndarray,
     target_mask: jnp.ndarray,
     radius: float,
+    sigma: float = 0.0,
     block: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """XLA fallback with identical semantics (blocked over queries)."""
@@ -147,6 +167,7 @@ def radius_moments_xla(
     qpad = jnp.pad(query, ((0, npad - n), (0, 0)))
     qblocks = qpad.reshape(npad // block, block, 3)
     r2 = radius * radius
+    inv2s2 = 0.0 if sigma <= 0 else 1.0 / (2.0 * float(sigma) ** 2)
 
     x, y, z = target[:, 0], target[:, 1], target[:, 2]
     feats = jnp.stack(
@@ -156,7 +177,11 @@ def radius_moments_xla(
     def one(qb):
         cross = jnp.dot(qb, target.T, preferred_element_type=jnp.float32)
         d2 = jnp.sum(qb * qb, -1)[:, None] - 2.0 * cross + tn2[None, :]
-        w = (d2 < r2).astype(jnp.float32)
+        inside = d2 < r2
+        if inv2s2 > 0.0:
+            w = jnp.where(inside, jnp.exp(-jnp.minimum(d2, r2) * inv2s2), 0.0)
+        else:
+            w = inside.astype(jnp.float32)
         return jnp.dot(feats, w.T, preferred_element_type=jnp.float32)  # (10, B)
 
     acc = jax.lax.map(one, qblocks)  # (nb, 10, B)

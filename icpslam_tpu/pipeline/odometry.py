@@ -36,7 +36,10 @@ def compute_covariances(cloud, icfg):
     """Covariances for a cloud per the ICP config (radius or knn mode)."""
     if icfg.covariance_mode == "radius":
         return cov_ops.gicp_covariances_radius(
-            cloud, radius=icfg.covariance_radius, epsilon=icfg.covariance_epsilon
+            cloud,
+            radius=icfg.covariance_radius,
+            epsilon=icfg.covariance_epsilon,
+            sigma=icfg.covariance_sigma,
         )
     return cov_ops.gicp_covariances(
         cloud, k=icfg.covariance_knn, epsilon=icfg.covariance_epsilon

@@ -234,6 +234,7 @@ def slam_step(
         and config.icp_odometry.mode == "plane"
         and config.icp_mapping.covariance_mode == config.icp_odometry.covariance_mode
         and config.icp_mapping.covariance_radius == config.icp_odometry.covariance_radius
+        and config.icp_mapping.covariance_sigma == config.icp_odometry.covariance_sigma
         and config.icp_mapping.covariance_knn == config.icp_odometry.covariance_knn
         and config.icp_mapping.covariance_epsilon == config.icp_odometry.covariance_epsilon
     )

@@ -255,6 +255,51 @@ class TestRadiusCovariance:
         vals, vecs = np.linalg.eigh(np.asarray(covs))
         np.testing.assert_allclose(np.abs(vecs[:, 2, 0]), 1.0, atol=1e-2)
 
+    def test_gaussian_moments_match_bruteforce(self):
+        from icpslam_tpu.ops.pallas import radius_stats_kernel as rsk
+        rng = np.random.RandomState(3)
+        pts = rng.uniform(-2, 2, (256, 3)).astype(np.float32)
+        mask = np.ones(256, bool)
+        mask[250:] = False
+        r, sigma = 0.6, 0.3
+        count, mean, cov = rsk.radius_moments_xla(
+            jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(mask), r, sigma=sigma
+        )
+        for i in [0, 17, 99]:
+            d2 = np.sum((pts[mask] - pts[i]) ** 2, axis=-1)
+            w = np.where(d2 < r * r, np.exp(-d2 / (2 * sigma**2)), 0.0)
+            sw = w.sum()
+            m = (w[:, None] * pts[mask]).sum(0) / sw
+            c = (w[:, None, None] * np.einsum(
+                "ni,nj->nij", pts[mask] - m, pts[mask] - m
+            )).sum(0) / sw
+            np.testing.assert_allclose(float(count[i]), sw, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(mean[i]), m, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(cov[i]), c, atol=1e-4)
+
+    def test_gaussian_pallas_interpret_matches_xla(self):
+        from icpslam_tpu.ops.pallas import radius_stats_kernel as rsk
+        rng = np.random.RandomState(4)
+        pts = jnp.asarray(rng.uniform(-2, 2, (256, 3)), jnp.float32)
+        mask = jnp.ones(256, bool)
+        ref = rsk.radius_moments_xla(pts, pts, mask, 0.5, sigma=0.25)
+        got = rsk.radius_moments(
+            pts, pts, mask, 0.5, sigma=0.25, bq=256, bt=128, interpret=True
+        )
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_gaussian_planar_normals(self):
+        # noisy plane: the Gaussian taper must still recover the normal
+        rng = np.random.RandomState(5)
+        plane = np.c_[
+            rng.uniform(-1, 1, (256, 2)), rng.normal(0, 0.005, 256)
+        ].astype(np.float32)
+        cloud = pc.from_points(plane, capacity=256)
+        covs = covariance.gicp_covariances_radius(cloud, radius=0.4, sigma=0.2)
+        vals, vecs = np.linalg.eigh(np.asarray(covs))
+        np.testing.assert_allclose(np.abs(vecs[:, 2, 0]), 1.0, atol=5e-2)
+
     def test_sparse_points_identity(self):
         # isolated points (< 3 neighbors in radius) get identity covariance
         pts = np.array([[0, 0, 0], [10, 0, 0], [20, 0, 0]], np.float32)

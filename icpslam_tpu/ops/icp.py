@@ -63,6 +63,8 @@ class _Carry(NamedTuple):
     pose: Pose
     it: jnp.ndarray
     delta: jnp.ndarray  # norm of last update twist
+    d2: jnp.ndarray     # (N,) correspondence distances at the last-used pose
+    corr: jnp.ndarray   # (N,) bool correspondence validity at that pose
 
 
 def icp(
@@ -126,22 +128,33 @@ def icp(
 
         new_pose = se3.normalize(se3.compose(delta_pose, pose))
         dnorm = jnp.linalg.norm(se3.se3_log(delta_pose))
-        return _Carry(pose=new_pose, it=carry.it + 1, delta=dnorm)
+        return _Carry(pose=new_pose, it=carry.it + 1, delta=dnorm, d2=d2, corr=corr)
 
     def cond(carry: _Carry):
         return (carry.it < config.max_iterations) & (
             carry.delta > config.transformation_epsilon
         )
 
+    n_src = source.points.shape[0]
     init_carry = _Carry(
         pose=init,
         it=jnp.zeros((), jnp.int32),
         delta=jnp.asarray(jnp.inf, source.points.dtype),
+        d2=jnp.full((n_src,), jnp.inf, source.points.dtype),
+        corr=jnp.zeros((n_src,), bool),
     )
     final = jax.lax.while_loop(cond, step, init_carry)
 
-    # Final correspondence pass for fitness (PCL getFitnessScore semantics).
-    _, _, d2, corr = correspondences(final.pose)
+    if config.exact_fitness:
+        # Extra correspondence pass at the final pose (exact PCL
+        # getFitnessScore semantics) — costs one more NN sweep.
+        _, _, d2, corr = correspondences(final.pose)
+    else:
+        # Reuse the correspondences from the last executed iteration:
+        # fitness is evaluated one Gauss-Newton step stale, which is far
+        # below the coarse accept gate (fitness < 20) — and saves a full
+        # NN pass (~1/8 of ICP time at 10 iterations).
+        d2, corr = final.d2, final.corr
     n_corr = jnp.sum(corr.astype(jnp.int32))
     fitness = jnp.where(
         n_corr > 0,

@@ -110,7 +110,10 @@ def _bench_full_slam(jax, np, cfg, scans, gt):
     from icpslam_tpu.geometry import se3
     from icpslam_tpu.pipeline import slam
 
-    step = jax.jit(slam.slam_step, static_argnums=(2,), donate_argnums=(0,))
+    # NOTE: no donate_argnums here — donating the full SlamState pytree
+    # trips an INVALID_ARGUMENT in the tunneled TPU backend (the smaller
+    # odometry state donates fine); memory is ample without it.
+    step = jax.jit(slam.slam_step, static_argnums=(2,))
     state = slam.init_state(cfg, se3.index(gt, 0))
     n_warm = min(3, len(scans) - 1)
     for i in range(n_warm):

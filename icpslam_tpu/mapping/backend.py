@@ -38,6 +38,23 @@ def insert(map_: MapState, cloud: PointCloud, resolution: float) -> MapState:
     return vm.insert(map_, cloud, resolution)
 
 
+def insert_reusing_nn(
+    map_: MapState,
+    cloud: PointCloud,
+    resolution: float,
+    nn_dist2: jnp.ndarray,
+) -> MapState:
+    """Insert with a precomputed per-point NN distance to the map.
+
+    Point backend: skips the dedup NN sweep (``point_map.insert_with_nn``).
+    Voxel backend: the sorted index must be rebuilt anyway, so this is the
+    plain insert.
+    """
+    if isinstance(map_, pm.PointMap):
+        return pm.insert_with_nn(map_, cloud, resolution, nn_dist2)
+    return vm.insert(map_, cloud, resolution)
+
+
 def query_nn(
     map_: MapState,
     points: jnp.ndarray,

@@ -80,6 +80,40 @@ def insert(pmap: PointMap, cloud: PointCloud, resolution: float) -> PointMap:
     )
 
 
+def insert_with_nn(
+    pmap: PointMap,
+    cloud: PointCloud,
+    resolution: float,
+    nn_dist2: jnp.ndarray,
+) -> PointMap:
+    """Distance-gated append reusing a precomputed NN distance per point.
+
+    ``nn_dist2`` is each cloud point's squared distance to the current map
+    (inf where no map point / invalid query). Callers that just ran a map
+    NN query for registration (``scan_to_map.refine_and_grow``) pass it
+    here to skip the second full NN sweep ``insert`` would pay. The
+    distances may be measured at a slightly different pose (pre-refinement)
+    — the dedup gate is a density bound, not an exact occupancy test (the
+    reference's voxel gate is equally approximate), and the refinement
+    correction is ≪ resolution for accepted scans. The cloud must already
+    be self-deduplicated (one point per ``resolution`` cell — true for
+    voxel-filtered scans with leaf ≥ resolution).
+    """
+    C = pmap.capacity
+    far = ~(nn_dist2 < resolution * resolution)  # True also when dist2=inf
+    new = cloud.mask & far
+    pos = pmap.size + jnp.cumsum(new.astype(jnp.int32)) - 1
+    pos = jnp.where(new & (pos < C), pos, C)
+    points = pmap.points.at[pos].set(cloud.points, mode="drop")
+    n_new = jnp.sum(new.astype(jnp.int32))
+    total = pmap.size + n_new
+    return PointMap(
+        points=points,
+        size=jnp.minimum(total, C),
+        overflow=pmap.overflow + jnp.maximum(total - C, 0),
+    )
+
+
 def exact_nn(pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray) -> MapNNResult:
     """Exact NN of query points against the map (Pallas kernel on TPU)."""
     res = nn_ops.nearest_neighbors(points, pmap.points, pmap.occupancy_mask())

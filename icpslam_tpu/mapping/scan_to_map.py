@@ -104,7 +104,16 @@ def refine_and_grow(
         )
         refined = se3.normalize(se3.compose(raw_pose, correction))
         grow_cloud = pc.transform(refined, scan)
-        grown = map_backend.insert(map_, grow_cloud, res_m)
+        if config.voxel_leaf_size >= res_m:
+            # the scan is already one-point-per-res_m-cell (leaf ≥ map
+            # resolution) and we just measured every point's distance to
+            # the map — reuse it for the dedup gate instead of paying a
+            # second full NN sweep inside insert
+            grown = map_backend.insert_reusing_nn(
+                map_, grow_cloud, res_m, nn.dist2
+            )
+        else:
+            grown = map_backend.insert(map_, grow_cloud, res_m)
         # on failure the reference does not grow the map (``:155-169``)
         final_map = jax.tree_util.tree_map(
             lambda a, b: jnp.where(success, a, b), grown, map_

@@ -192,6 +192,7 @@ def _optimize(state: SlamState, config: SlamConfig) -> Tuple[SlamState, jnp.ndar
         mask,
         iterations=config.graph_solver_iterations,
         mode=config.graph_solver,
+        linear_solver=config.graph_linear_solver,
     )
     new_store = kf.set_graph_poses(store, opt_nodes)
     # map→odom = last_kf.graph ∘ last_kf.odom⁻¹ (``:91-98``)

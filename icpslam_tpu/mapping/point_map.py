@@ -64,7 +64,9 @@ def insert(pmap: PointMap, cloud: PointCloud, resolution: float) -> PointMap:
     """Distance-gated append of a (map-frame) cloud."""
     C = pmap.capacity
     filt, _ = voxel_downsample(cloud, resolution, cloud.capacity)
-    res = nn_ops.nearest_neighbors(filt.points, pmap.points, pmap.occupancy_mask())
+    res = nn_ops.nearest_neighbors(
+        filt.points, pmap.points, pmap.occupancy_mask(), valid_len=pmap.size
+    )
     # no existing map point within `resolution` → genuinely new surface
     far = ~(res.dist2 < resolution * resolution)  # True also when dist2=inf
     new = filt.mask & far
@@ -115,8 +117,13 @@ def insert_with_nn(
 
 
 def exact_nn(pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray) -> MapNNResult:
-    """Exact NN of query points against the map (Pallas kernel on TPU)."""
-    res = nn_ops.nearest_neighbors(points, pmap.points, pmap.occupancy_mask())
+    """Exact NN of query points against the map (Pallas kernel on TPU).
+
+    The append-only map is prefix-filled, so the kernel sweeps only the
+    live tiles — query cost scales with map *fill*, not capacity."""
+    res = nn_ops.nearest_neighbors(
+        points, pmap.points, pmap.occupancy_mask(), valid_len=pmap.size
+    )
     found = mask & jnp.isfinite(res.dist2)
     return MapNNResult(
         points=jnp.where(found[:, None], pmap.points[res.idx], 0.0),

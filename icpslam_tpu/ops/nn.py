@@ -38,12 +38,19 @@ def nearest_neighbors(
     target_mask: jnp.ndarray,
     block: int = 1024,
     use_pallas: bool | None = None,
+    valid_len: jnp.ndarray | None = None,
 ) -> NNResult:
     """Exact 1-NN of each query point in the (masked) target cloud.
 
     query: (N, 3); target: (M, 3); target_mask: (M,) bool.
     Returns idx (N,) and dist2 (N,). Queries are not masked here — callers
     combine ``dist2`` with their own query mask.
+
+    ``valid_len``: optional traced scalar — live-prefix length of a
+    fixed-capacity target buffer (everything past it must also be masked
+    out). The Pallas kernel uses it to skip dead-capacity tiles so cost
+    scales with fill, not capacity; the XLA path ignores it (masking
+    already guarantees correctness).
 
     On TPU, tile-divisible shapes dispatch to the fused Pallas kernel
     (``ops.pallas.nn_kernel``, ~20x faster than the XLA path at 8k×8k);
@@ -58,7 +65,9 @@ def nearest_neighbors(
             and target.shape[0] % nn_kernel.DEFAULT_BT == 0
         )
     if use_pallas:
-        return nn_kernel.nearest_neighbors_pallas(query, target, target_mask)
+        return nn_kernel.nearest_neighbors_pallas(
+            query, target, target_mask, valid_len=valid_len
+        )
     n = query.shape[0]
     np_ = _pad_blocks(n, block)
     qpad = jnp.pad(query, ((0, np_ - n), (0, 0)))

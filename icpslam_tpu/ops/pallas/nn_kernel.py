@@ -32,13 +32,16 @@ DEFAULT_BQ = 256
 DEFAULT_BT = 512
 
 
-def _nn_kernel(qT_ref, tT_ref, tn2_ref, idx_ref, d2_ref, *, bt: int):
+def _nn_kernel(vl_ref, qT_ref, tT_ref, tn2_ref, idx_ref, d2_ref, *, bt: int):
     """Grid step (i, j): query tile i vs target tile j.
 
     The output blocks are indexed by i only, so they stay resident in VMEM
     while j sweeps the targets (Pallas revisited-output accumulation) and
     the BlockSpec pipeline double-buffers the target tiles from HBM.
 
+    vl_ref: (1,) int32 scalar-prefetch — number of live targets; tiles
+        starting at or beyond it are skipped entirely (their targets are
+        masked +inf anyway, so they can never win the argmin)
     qT_ref: (8, BQ) query tile (coords transposed, padded)
     tT_ref: (8, BT) target tile
     tn2_ref: (1, BT) target squared norms (+inf for masked)
@@ -51,24 +54,26 @@ def _nn_kernel(qT_ref, tT_ref, tn2_ref, idx_ref, d2_ref, *, bt: int):
         d2_ref[:, :] = jnp.full_like(d2_ref, jnp.inf)
         idx_ref[:, :] = jnp.zeros_like(idx_ref)
 
-    # d2 laid out (BT, BQ): queries ride the lane dimension, so the
-    # min/argmin over targets (axis 0, sublanes) lands directly in the
-    # (1, BQ) output layout — no per-step transposes.
-    qT = qT_ref[:, :]  # (8, BQ)
-    qn2 = jnp.sum(qT * qT, axis=0, keepdims=True)  # (1, BQ)
-    cross = jax.lax.dot_general(
-        tT_ref[:, :], qT, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BT, BQ)
-    d2 = tn2_ref[0, :][:, None] - 2.0 * cross + qn2
-    local_min = jnp.min(d2, axis=0)  # (BQ,) lane layout
-    local_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + j * bt
+    @pl.when(j * bt < vl_ref[0])
+    def _():
+        # d2 laid out (BT, BQ): queries ride the lane dimension, so the
+        # min/argmin over targets (axis 0, sublanes) lands directly in the
+        # (1, BQ) output layout — no per-step transposes.
+        qT = qT_ref[:, :]  # (8, BQ)
+        qn2 = jnp.sum(qT * qT, axis=0, keepdims=True)  # (1, BQ)
+        cross = jax.lax.dot_general(
+            tT_ref[:, :], qT, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BT, BQ)
+        d2 = tn2_ref[0, :][:, None] - 2.0 * cross + qn2
+        local_min = jnp.min(d2, axis=0)  # (BQ,) lane layout
+        local_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + j * bt
 
-    best_d2 = d2_ref[0, :]
-    best_idx = idx_ref[0, :]
-    better = local_min < best_d2
-    d2_ref[0, :] = jnp.where(better, local_min, best_d2)
-    idx_ref[0, :] = jnp.where(better, local_arg, best_idx)
+        best_d2 = d2_ref[0, :]
+        best_idx = idx_ref[0, :]
+        better = local_min < best_d2
+        d2_ref[0, :] = jnp.where(better, local_min, best_d2)
+        idx_ref[0, :] = jnp.where(better, local_arg, best_idx)
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bt", "interpret"))
@@ -76,6 +81,7 @@ def nearest_neighbors_pallas(
     query: jnp.ndarray,
     target: jnp.ndarray,
     target_mask: jnp.ndarray,
+    valid_len: jnp.ndarray | None = None,
     bq: int = DEFAULT_BQ,
     bt: int = DEFAULT_BT,
     interpret: bool = False,
@@ -84,6 +90,13 @@ def nearest_neighbors_pallas(
 
     query: (N, 3); target: (M, 3); target_mask: (M,). N must divide by
     ``bq`` and M by ``bt`` (the pipeline's power-of-two capacities do).
+
+    ``valid_len`` (traced int32 scalar, optional) is the number of live
+    targets when the target array is a prefix-filled fixed-capacity
+    buffer (e.g. the append-only point map): target tiles past it skip
+    both their compute and their HBM fetch, so query cost scales with the
+    live size instead of the capacity. Targets past ``valid_len`` MUST be
+    masked out in ``target_mask`` (they are never examined).
     """
     n = query.shape[0]
     m = target.shape[0]
@@ -95,19 +108,34 @@ def nearest_neighbors_pallas(
     tn2 = jnp.sum(target * target, axis=-1)
     tn2 = jnp.where(target_mask, tn2, jnp.inf)[None, :]  # (1, M)
 
+    if valid_len is None:
+        vl = jnp.full((1,), m, jnp.int32)
+    else:
+        vl = jnp.asarray(valid_len, jnp.int32).reshape(1)
+
+    # Clamp the target-block index to the last live tile: Pallas skips the
+    # DMA when a revisited block index is unchanged, so dead-capacity tiles
+    # cost neither bandwidth nor (thanks to the pl.when guard) compute.
+    def tgt_block(i, j, vl_ref):
+        last = jnp.maximum((vl_ref[0] + bt - 1) // bt - 1, 0)
+        return (0, jnp.minimum(j, last))
+
     grid = (n // bq, m // bt)
     idx, d2 = pl.pallas_call(
         functools.partial(_nn_kernel, bt=bt),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, bq), lambda i, j, vl_ref: (0, i)),
+                pl.BlockSpec((8, bt), tgt_block),
+                pl.BlockSpec((1, bt), tgt_block),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq), lambda i, j, vl_ref: (0, i)),
+                pl.BlockSpec((1, bq), lambda i, j, vl_ref: (0, i)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.int32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
@@ -118,7 +146,7 @@ def nearest_neighbors_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qT, tT, tn2)
+    )(vl, qT, tT, tn2)
 
     d2_out = jnp.maximum(d2[0], 0.0)
     d2_out = jnp.where(jnp.isfinite(d2[0]), d2_out, d2[0])

@@ -30,6 +30,33 @@ class TestPallasNN:
         )
         assert np.all(np.isinf(np.asarray(got.dist2)))
 
+    def test_valid_len_prefix_matches_masked(self):
+        # a prefix-filled buffer with valid_len must give the same result
+        # as masking alone (and skip the dead tiles on real hardware)
+        rng = np.random.RandomState(7)
+        q = jnp.asarray(rng.randn(256, 3), jnp.float32)
+        t = jnp.asarray(rng.randn(512, 3), jnp.float32)
+        live = 200  # not tile-aligned on purpose
+        tm = jnp.arange(512) < live
+        ref = nn_ops.nearest_neighbors(q, t, tm, use_pallas=False)
+        got = nearest_neighbors_pallas(
+            q, t, tm, valid_len=jnp.asarray(live, jnp.int32),
+            bq=256, bt=128, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+        np.testing.assert_allclose(
+            np.asarray(got.dist2), np.asarray(ref.dist2), atol=1e-4
+        )
+
+    def test_valid_len_zero_all_inf(self):
+        q = jnp.zeros((256, 3))
+        t = jnp.ones((256, 3))
+        got = nearest_neighbors_pallas(
+            q, t, jnp.zeros(256, bool), valid_len=jnp.asarray(0, jnp.int32),
+            bq=256, bt=128, interpret=True,
+        )
+        assert np.all(np.isinf(np.asarray(got.dist2)))
+
     def test_indivisible_raises(self):
         with pytest.raises(ValueError):
             nearest_neighbors_pallas(

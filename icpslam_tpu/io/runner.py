@@ -39,19 +39,107 @@ class RunResult:
     wall_time: float
 
 
+def _records_from_chunk(out: slam.SlamOutput, base: int, live: int) -> List[dict]:
+    """Per-scan metric dicts from a stacked (chunked) SlamOutput."""
+    get = lambda x: np.asarray(x)[:live]
+    acc, fit = get(out.odom_out.accepted), get(out.odom_out.fitness)
+    nc, it = get(out.odom_out.num_correspondences), get(out.odom_out.iterations)
+    ref, nk = get(out.refined), get(out.new_keyframe)
+    lc, opt = get(out.loop_closure), get(out.optimized)
+    ms, kf = get(out.map_size), get(out.num_keyframes)
+    cost = get(out.graph_cost)
+    return [
+        {
+            "scan": base + i,
+            "accepted": bool(acc[i]),
+            "fitness": float(fit[i]),
+            "correspondences": int(nc[i]),
+            "icp_iterations": int(it[i]),
+            "refined": bool(ref[i]),
+            "new_keyframe": bool(nk[i]),
+            "loop_closure": bool(lc[i]),
+            "optimized": bool(opt[i]),
+            "graph_cost": float(cost[i]),
+            "map_size": int(ms[i]),
+            "num_keyframes": int(kf[i]),
+        }
+        for i in range(live)
+    ]
+
+
+def _stack_clouds(clouds: List[pc.PointCloud]) -> pc.PointCloud:
+    return jax.tree_util.tree_map(lambda *x: jax.numpy.stack(x), *clouds)
+
+
 def run_slam(
     scans: Iterable[pc.PointCloud],
     config: SlamConfig,
     initial_pose: Optional[Pose] = None,
     logger: Optional[Logger] = None,
+    chunk: int = 1,
 ) -> RunResult:
-    """Drive the jitted pipeline over a scan stream."""
+    """Drive the jitted pipeline over a scan stream.
+
+    ``chunk > 1`` feeds the device ``chunk`` scans per call through
+    ``slam.run_scans`` (lax.scan) — amortizing per-call host dispatch and
+    per-scan metric syncs (~1.4 ms/scan on the tunneled v5e). A trailing
+    partial chunk is padded with empty (fully masked) scans; their outputs
+    are discarded (an empty scan never registers, keyframes, or optimizes —
+    only the internal scan counters advance, like dropped clouds in the
+    reference).
+    """
     log = logger or Logger(level=config.verbosity)
-    step = jax.jit(slam.slam_step, static_argnums=(2,))
     state = slam.init_state(config, initial_pose)
     poses = []
     per_scan = []
     t0 = time.perf_counter()
+
+    if chunk > 1:
+        run = jax.jit(slam.run_scans, static_argnums=(2,))
+        buf: List[pc.PointCloud] = []
+        done = 0
+
+        def flush(buf, state, done):
+            live = len(buf)
+            while len(buf) < chunk:
+                buf.append(pc.empty(config.max_raw_points))
+            state, outs = run(state, _stack_clouds(buf), config)
+            recs = _records_from_chunk(outs, done, live)
+            per_scan.extend(recs)
+            poses.append(
+                Pose(t=outs.pose_map.t[:live], q=outs.pose_map.q[:live])
+            )
+            for rec in recs:
+                log.debug(f"scan {rec['scan']}: {rec}")
+                if rec["optimized"]:
+                    log.info(
+                        f"scan {rec['scan']}: optimized graph "
+                        f"({rec['num_keyframes']} keyframes, "
+                        f"cost {rec['graph_cost']:.4f})"
+                    )
+            return state, done + live
+
+        for scan in scans:
+            buf.append(scan)
+            if len(buf) == chunk:
+                state, done = flush(buf, state, done)
+                buf = []
+        if buf:
+            state, done = flush(buf, state, done)
+        wall = time.perf_counter() - t0
+        traj = (
+            Pose(
+                t=jax.numpy.concatenate([p.t for p in poses]),
+                q=jax.numpy.concatenate([p.q for p in poses]),
+            )
+            if poses
+            else se3.identity((0,))
+        )
+        return RunResult(
+            trajectory=traj, per_scan=per_scan, state=state, wall_time=wall
+        )
+
+    step = jax.jit(slam.slam_step, static_argnums=(2,))
     for i, scan in enumerate(scans):
         state, out = step(state, scan, config)
         poses.append(out.pose_map)
@@ -119,6 +207,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max-map-points", type=int, default=262144)
     ap.add_argument("--max-keyframes", type=int, default=512)
     ap.add_argument("--verbosity", type=int, default=1)
+    ap.add_argument(
+        "--chunk", type=int, default=1,
+        help="scans per device call (lax.scan chunking; 1 = step-by-step)",
+    )
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None, help="write trajectory .npz")
     args = ap.parse_args(argv)
@@ -157,7 +249,7 @@ def main(argv=None) -> int:
             log.warn("no ground-truth poses found; skipping ATE")
         init = None
 
-    res = run_slam(scans, cfg, initial_pose=init, logger=log)
+    res = run_slam(scans, cfg, initial_pose=init, logger=log, chunk=args.chunk)
     n = res.trajectory.t.shape[0]
     log.info(f"processed {n} scans in {res.wall_time:.2f}s "
              f"({n / res.wall_time:.2f} scans/s incl. compile)")

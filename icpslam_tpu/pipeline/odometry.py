@@ -101,6 +101,24 @@ def drain_accumulator(state: OdometryState) -> Tuple[Pose, OdometryState]:
     return state.accum, state._replace(accum=se3.identity())
 
 
+def run_scans(
+    state: OdometryState, scans: pc.PointCloud, config: SlamConfig
+) -> Tuple[OdometryState, OdometryOutput]:
+    """Process a chunk of scans in one device program (``lax.scan``).
+
+    ``scans`` is a batched PointCloud (leading time axis, e.g. stacked with
+    ``jax.tree_util.tree_map(lambda *x: jnp.stack(x), *clouds)``); outputs
+    gain the same leading axis. Chunked driving amortizes the per-call
+    host dispatch — on the tunneled v5e it is worth ~1.4 ms/scan (~+28%
+    throughput) over step-by-step calls. Jit with ``static_argnums=(2,)``.
+    """
+
+    def f(st, scan):
+        return odometry_step(st, scan, config)
+
+    return jax.lax.scan(f, state, scans)
+
+
 def odometry_step(
     state: OdometryState, raw_scan: pc.PointCloud, config: SlamConfig
 ) -> Tuple[OdometryState, OdometryOutput]:

@@ -210,6 +210,24 @@ def _optimize(state: SlamState, config: SlamConfig) -> Tuple[SlamState, jnp.ndar
     )
 
 
+def run_scans(
+    state: SlamState, scans: pc.PointCloud, config: SlamConfig
+) -> Tuple[SlamState, SlamOutput]:
+    """Process a chunk of scans through the full pipeline in one device
+    program (``lax.scan`` over ``slam_step``).
+
+    ``scans`` carries a leading time axis; outputs gain the same axis.
+    Amortizes per-call host dispatch (the TPU-native replacement for the
+    reference's callback-thread ingest: the host stacks scans while the
+    device runs the previous chunk). Jit with ``static_argnums=(2,)``.
+    """
+
+    def f(st, scan):
+        return slam_step(st, scan, config)
+
+    return jax.lax.scan(f, state, scans)
+
+
 def slam_step(
     state: SlamState, raw_scan: pc.PointCloud, config: SlamConfig
 ) -> Tuple[SlamState, SlamOutput]:

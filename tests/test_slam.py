@@ -101,6 +101,54 @@ class TestSlamPipeline:
         assert all(b >= a for a, b in zip(sizes, sizes[1:]))
 
 
+class TestChunkedRun:
+    def test_run_scans_matches_step_by_step(self):
+        cfg = slam_cfg()
+        world = synthetic.make_room_world(seed=0, n_points=12000)
+        gt = synthetic.make_loop_trajectory(n_poses=12, radius=5.0, laps=0.5)
+        scans = list(synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, max_range=12.0,
+            n_points=1200, noise=0.01, seed=0,
+        ))
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        st1 = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        poses1 = []
+        for s in scans:
+            st1, out = step(st1, s, cfg)
+            poses1.append(np.asarray(out.pose_map.t))
+
+        runf = jax.jit(slam.run_scans, static_argnums=(2,))
+        st2 = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        batch = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *scans)
+        st2, outs = runf(st2, batch, cfg)
+
+        np.testing.assert_allclose(
+            np.stack(poses1), np.asarray(outs.pose_map.t), atol=1e-5
+        )
+        assert int(st1.keyframes.count) == int(st2.keyframes.count)
+        assert int(st1.num_optimizations) == int(st2.num_optimizations)
+
+    def test_runner_chunked_padding(self):
+        # 7 scans through chunk=3 (padded tail) must match chunk=1
+        from icpslam_tpu.io import runner as rn
+        cfg = slam_cfg()
+        world = synthetic.make_room_world(seed=1, n_points=12000)
+        gt = synthetic.make_loop_trajectory(n_poses=7, radius=5.0, laps=0.4)
+        mk = lambda: list(synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, max_range=12.0,
+            n_points=1200, noise=0.01, seed=1,
+        ))
+        r1 = rn.run_slam(mk(), cfg, initial_pose=se3.index(gt, 0))
+        r3 = rn.run_slam(mk(), cfg, initial_pose=se3.index(gt, 0), chunk=3)
+        assert len(r3.per_scan) == len(r1.per_scan) == 7
+        np.testing.assert_allclose(
+            np.asarray(r1.trajectory.t), np.asarray(r3.trajectory.t), atol=1e-5
+        )
+        for a, b in zip(r1.per_scan, r3.per_scan):
+            assert a["new_keyframe"] == b["new_keyframe"]
+            assert a["optimized"] == b["optimized"]
+
+
 class TestRobustness:
     def test_empty_and_degenerate_scans_survive(self):
         # SURVEY §5.3: graceful degradation — garbage in, no crash/NaN out

@@ -105,11 +105,18 @@ class SlamConfig:
     # intent (launch/icpslam.launch:14-15 'g2o|gtsam' arg)
     graph_solver: str = "lm"
     graph_solver_iterations: int = 5
-    # linear solver inside GN/LM: 'direct' (dense-block Cholesky),
-    # 'pcg' (matrix-free block-Jacobi CG — measured ~2x faster at the
-    # default 512-keyframe capacity on v5e and scales with edges, not
-    # capacity²), or 'schur' (chunked Schur elimination)
-    graph_linear_solver: str = "pcg"
+    # linear solver inside GN/LM: 'direct' (dense-block Cholesky — with
+    # bucketing below it solves at the live size: 3.9 ms at 30 live
+    # keyframes vs 42 ms at full 512 capacity on v5e), 'pcg' (matrix-free
+    # block-Jacobi CG — wins at full capacity, ~2x direct at K=512, and
+    # scales with edges not capacity²), or 'schur' (chunked elimination)
+    graph_linear_solver: str = "direct"
+    # capacity bucketing for the in-pipeline solve: lax.switch over
+    # power-of-two keyframe prefixes (>= graph_bucket_min), so a young
+    # graph solves at its own size instead of full capacity (SURVEY §7.4
+    # bucketed capacities). Each bucket compiles once.
+    graph_bucketing: bool = True
+    graph_bucket_min: int = 64
 
     # --- wheel / external odometry fusion (robot_odometer.cpp) ---
     wheel_odom_pose_gate: float = 0.1  # POSE_DIST_THRESH, robot_odometer.h:40

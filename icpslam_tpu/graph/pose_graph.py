@@ -461,3 +461,70 @@ def optimize(
         0, iterations, body, (nodes, jnp.asarray(init_damping, nodes.t.dtype), c0)
     )
     return final, SolveStats(c0, c_end, jnp.asarray(iterations))
+
+
+def optimize_bucketed(
+    nodes: Pose,
+    edges: EdgeSet,
+    node_mask: jnp.ndarray,
+    node_count: jnp.ndarray,
+    edge_count: jnp.ndarray,
+    min_bucket: int = 64,
+    **kw,
+) -> Tuple[Pose, SolveStats]:
+    """``optimize`` with capacity bucketing: ``lax.switch`` over power-of-two
+    prefix sizes, solving only the smallest bucket the live graph fits in.
+
+    Keyframe and edge stores are append-only prefix-filled buffers, so the
+    first ``node_count`` nodes / ``edge_count`` edges are the whole live
+    graph and a prefix solve is numerically identical to the full-capacity
+    solve (invalid edges carry zero residual, masked nodes zero delta).
+    The dense-block solver's cost is cubic in capacity — early in a run
+    this saves ~the whole solve (e.g. 42 ms at K=512 vs ~1 ms at K=64).
+    This is the bucketed-capacities pattern from SURVEY.md §7.4 for
+    growing state under static shapes; each bucket compiles once.
+    """
+    K = nodes.t.shape[0]
+    E = edges.i.shape[0]
+    buckets = []
+    kb = min(min_bucket, K)
+    while kb < K:
+        buckets.append(kb)
+        kb *= 2
+    buckets.append(K)
+    ebs = [max(1, (E * b) // K) for b in buckets]
+
+    def make_branch(Kb: int, Eb: int):
+        def branch(args):
+            nodes, edges, node_mask = args
+            sub_nodes = Pose(t=nodes.t[:Kb], q=nodes.q[:Kb])
+            sub_edges = EdgeSet(
+                i=edges.i[:Eb],
+                j=edges.j[:Eb],
+                rel_t=edges.rel_t[:Eb],
+                rel_q=edges.rel_q[:Eb],
+                info=edges.info[:Eb],
+                valid=edges.valid[:Eb],
+                count=jnp.minimum(edges.count, Eb),
+                overflow=edges.overflow,
+            )
+            opt, stats = optimize(sub_nodes, sub_edges, node_mask[:Kb], **kw)
+            full = Pose(
+                t=nodes.t.at[:Kb].set(opt.t), q=nodes.q.at[:Kb].set(opt.q)
+            )
+            return full, stats
+
+        return branch
+
+    fits = jnp.stack(
+        [
+            (node_count <= b) & (edge_count <= eb)
+            for b, eb in zip(buckets, ebs)
+        ]
+    )
+    idx = jnp.argmax(fits)  # smallest bucket that fits (last always does)
+    return jax.lax.switch(
+        idx,
+        [make_branch(b, eb) for b, eb in zip(buckets, ebs)],
+        (nodes, edges, node_mask),
+    )

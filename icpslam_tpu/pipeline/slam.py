@@ -186,14 +186,23 @@ def _optimize(state: SlamState, config: SlamConfig) -> Tuple[SlamState, jnp.ndar
     """Run the windowed graph optimization + map reset (``:168-171``)."""
     store = state.keyframes
     mask = store.valid_mask()
-    opt_nodes, stats = pg.optimize(
-        store.pose_graph,
-        state.edges,
-        mask,
+    kw = dict(
         iterations=config.graph_solver_iterations,
         mode=config.graph_solver,
         linear_solver=config.graph_linear_solver,
     )
+    if config.graph_bucketing:
+        opt_nodes, stats = pg.optimize_bucketed(
+            store.pose_graph,
+            state.edges,
+            mask,
+            node_count=store.count,
+            edge_count=state.edges.count,
+            min_bucket=config.graph_bucket_min,
+            **kw,
+        )
+    else:
+        opt_nodes, stats = pg.optimize(store.pose_graph, state.edges, mask, **kw)
     new_store = kf.set_graph_poses(store, opt_nodes)
     # map→odom = last_kf.graph ∘ last_kf.odom⁻¹ (``:91-98``)
     m2o = se3.compose(kf.latest(new_store), se3.inverse(kf.latest_odom(new_store)))

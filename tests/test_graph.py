@@ -107,6 +107,37 @@ class TestPoseGraph:
         err = np.linalg.norm(np.asarray(opt.t) - np.asarray(gt.t), axis=-1)
         assert err.max() < 0.05, err.max()
 
+    def test_bucketed_matches_full(self):
+        # 12 live nodes in a 64-capacity store: the bucketed solve (hits
+        # the 16-bucket) must match the full-capacity solve
+        n, K, E = 12, 64, 256
+        gt = circle_poses(n)
+        rng = np.random.RandomState(3)
+        drift = se3.se3_exp(jnp.asarray(
+            np.cumsum(rng.randn(n, 6) * 0.02, axis=0), jnp.float32))
+        noisy_live = se3.normalize(se3.compose(gt, drift))
+        nodes = se3.identity((K,))
+        nodes = Pose(
+            t=nodes.t.at[:n].set(noisy_live.t), q=nodes.q.at[:n].set(noisy_live.q)
+        )
+        edges = build_chain_edges(gt, capacity=E, close_loop=True)
+        mask = jnp.arange(K) < n
+
+        full, fs = pg.optimize(nodes, edges, mask, iterations=10, mode="lm")
+        buck, bs = jax.jit(
+            lambda nd, ed, m, nc, ec: pg.optimize_bucketed(
+                nd, ed, m, nc, ec, min_bucket=16, iterations=10, mode="lm"
+            )
+        )(nodes, edges, mask, jnp.asarray(n), edges.count)
+        np.testing.assert_allclose(
+            np.asarray(full.t), np.asarray(buck.t), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(fs.final_cost), float(bs.final_cost), rtol=1e-3, atol=1e-6
+        )
+        # dead capacity untouched
+        np.testing.assert_allclose(np.asarray(buck.t[n:]), 0.0)
+
     def test_anchor_fixed(self):
         gt = circle_poses(6)
         edges = build_chain_edges(gt, capacity=8, noise=0.05, seed=2, close_loop=True)

@@ -58,15 +58,13 @@ def nearest_neighbors(
     """
     from icpslam_tpu.ops.pallas import nn_kernel  # local import: avoids cycle
 
+    tiles = nn_kernel.pick_tiles(query.shape[0], target.shape[0])
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and query.shape[0] % nn_kernel.DEFAULT_BQ == 0
-            and target.shape[0] % nn_kernel.DEFAULT_BT == 0
-        )
-    if use_pallas:
+        use_pallas = jax.default_backend() == "tpu" and tiles is not None
+    if use_pallas and tiles is not None:
         return nn_kernel.nearest_neighbors_pallas(
-            query, target, target_mask, valid_len=valid_len
+            query, target, target_mask, valid_len=valid_len,
+            bq=tiles[0], bt=tiles[1],
         )
     n = query.shape[0]
     np_ = _pad_blocks(n, block)

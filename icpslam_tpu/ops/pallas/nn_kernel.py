@@ -30,6 +30,31 @@ from icpslam_tpu.ops.nn import NNResult
 
 DEFAULT_BQ = 256
 DEFAULT_BT = 512
+# preferred (largest) tile sizes — measured fastest at scan scale on v5e
+# (0.64 ms -> 0.36 ms at 8192x8192 vs the 256/512 minimum tiles)
+MAX_BQ = 1024
+MAX_BT = 2048
+
+
+def pick_tiles(n: int, m: int) -> tuple[int, int] | None:
+    """Largest power-of-two tiles dividing (n, m), capped at MAX_BQ/MAX_BT.
+
+    Returns None when n or m cannot meet the DEFAULT_BQ/DEFAULT_BT minimum
+    (the caller falls back to the XLA path).
+    """
+    def largest(x: int, cap: int, floor: int) -> int | None:
+        b = cap
+        while b >= floor:
+            if x % b == 0:
+                return b
+            b //= 2
+        return None
+
+    bq = largest(n, MAX_BQ, DEFAULT_BQ)
+    bt = largest(m, MAX_BT, DEFAULT_BT)
+    if bq is None or bt is None:
+        return None
+    return bq, bt
 
 
 def _nn_kernel(vl_ref, qT_ref, tT_ref, tn2_ref, idx_ref, d2_ref, *, bt: int):

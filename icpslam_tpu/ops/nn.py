@@ -53,8 +53,9 @@ def nearest_neighbors(
     already guarantees correctness).
 
     On TPU, tile-divisible shapes dispatch to the fused Pallas kernel
-    (``ops.pallas.nn_kernel``, ~20x faster than the XLA path at 8k×8k);
-    everything else takes the blocked-matmul XLA path below.
+    (``ops.pallas.nn_kernel``): measured on v5e vs the XLA path, 1.6x at
+    8192x8192 and 5.8x at 8192x262144 (30x with ``valid_len`` at ~21k
+    fill); everything else takes the blocked-matmul XLA path below.
     """
     from icpslam_tpu.ops.pallas import nn_kernel  # local import: avoids cycle
 

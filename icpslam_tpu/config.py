@@ -53,6 +53,12 @@ class IcpConfig:
     covariance_epsilon: float = 1e-3
     # 'point' (Kabsch point-to-point) or 'plane' (GICP-style plane-to-plane GN)
     mode: str = "plane"
+    # re-run the NN correspondence search every n-th ICP iteration and
+    # reuse the matches (re-evaluated at the updated pose) in between.
+    # 1 = PCL-parity (fresh matches every iteration); 2 halves the NN
+    # sweeps — the dominant per-iteration cost — at equal ATE on the
+    # bench workload
+    correspondence_refresh: int = 1
     # True: fitness from an extra correspondence pass at the final pose
     # (exact PCL getFitnessScore semantics); False (default): reuse the
     # last iteration's correspondences — one GN step stale, saves a full

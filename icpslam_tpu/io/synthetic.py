@@ -27,13 +27,22 @@ def make_room_world(
     n_points: int = 20000,
     size: float = 20.0,
     height: float = 3.0,
+    pillar_frac: float = 0.15,
 ) -> np.ndarray:
-    """Dense points on the surfaces of a box room: floor + 4 walls (+ some
-    interior pillars for structure). Returns (n, 3) float32."""
+    """Dense points on the surfaces of a box room: floor + 4 walls + interior
+    pillars. Returns (n, 3) float32.
+
+    ``pillar_frac`` of the points go onto ~a dozen cylindrical pillars —
+    without them the world is all axis-aligned planes, ICP's translation
+    along a wall is unconstrained (the classic corridor degeneracy), and any
+    trajectory metric on top is meaningless noise.
+    """
     rng = np.random.RandomState(seed)
     half = size / 2.0
-    n_floor = n_points // 3
-    n_wall = (n_points - n_floor) // 4
+    n_pillar = max(int(n_points * pillar_frac), 200)
+    n_rest = n_points - n_pillar
+    n_wall = (n_rest - n_rest // 3) // 4
+    n_floor = n_rest - 4 * n_wall  # floor absorbs the rounding remainder
     parts = [
         np.c_[rng.uniform(-half, half, (n_floor, 2)), np.zeros(n_floor)],
         np.c_[rng.uniform(-half, half, n_wall), np.full(n_wall, half), rng.uniform(0, height, n_wall)],
@@ -42,13 +51,14 @@ def make_room_world(
         np.c_[np.full(n_wall, -half), rng.uniform(-half, half, n_wall), rng.uniform(0, height, n_wall)],
     ]
     # pillars break the symmetry so ICP locks in all DoF
-    n_pillar = max(n_points - n_floor - 4 * n_wall, 200)
-    centers = rng.uniform(-half * 0.6, half * 0.6, (6, 2))
+    n_pil = 12
+    centers = rng.uniform(-half * 0.85, half * 0.85, (n_pil, 2))
+    radii = rng.uniform(0.2, 0.6, n_pil)
     th = rng.uniform(0, 2 * np.pi, n_pillar)
-    which = rng.randint(0, 6, n_pillar)
+    which = rng.randint(0, n_pil, n_pillar)
     pillar = np.c_[
-        centers[which, 0] + 0.3 * np.cos(th),
-        centers[which, 1] + 0.3 * np.sin(th),
+        centers[which, 0] + radii[which] * np.cos(th),
+        centers[which, 1] + radii[which] * np.sin(th),
         rng.uniform(0, height, n_pillar),
     ]
     parts.append(pillar)

@@ -63,6 +63,7 @@ class _Carry(NamedTuple):
     pose: Pose
     it: jnp.ndarray
     delta: jnp.ndarray  # norm of last update twist
+    idx: jnp.ndarray    # (N,) target index of each source point's match
     d2: jnp.ndarray     # (N,) correspondence distances at the last-used pose
     corr: jnp.ndarray   # (N,) bool correspondence validity at that pose
 
@@ -96,9 +97,29 @@ def icp(
         corr = source.mask & (res.dist2 <= max_d2)
         return src_t, res.idx, res.dist2, corr
 
+    refresh = max(1, config.correspondence_refresh)
+
     def step(carry: _Carry) -> _Carry:
         pose = carry.pose
-        src_t, idx, d2, corr = correspondences(pose)
+        if refresh == 1:
+            src_t, idx, d2, corr = correspondences(pose)
+        else:
+            # refresh the NN search only every `refresh` iterations; in
+            # between, keep the matches and just re-evaluate them at the
+            # updated pose (the GN/Kabsch update is cheap — the NN sweep
+            # is the per-iteration cost)
+            def fresh(_):
+                return correspondences(pose)
+
+            def reuse(_):
+                src_t = se3.transform_points(pose, source.points)
+                d2 = jnp.sum((src_t - target.points[carry.idx]) ** 2, axis=-1)
+                corr = source.mask & (d2 <= max_d2)
+                return src_t, carry.idx, d2, corr
+
+            src_t, idx, d2, corr = jax.lax.cond(
+                carry.it % refresh == 0, fresh, reuse, operand=None
+            )
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
         w = _huber_weights(dist, config.huber_delta) * corr.astype(src_t.dtype)
         dst = target.points[idx]
@@ -128,18 +149,26 @@ def icp(
 
         new_pose = se3.normalize(se3.compose(delta_pose, pose))
         dnorm = jnp.linalg.norm(se3.se3_log(delta_pose))
-        return _Carry(pose=new_pose, it=carry.it + 1, delta=dnorm, d2=d2, corr=corr)
+        return _Carry(
+            pose=new_pose, it=carry.it + 1, delta=dnorm, idx=idx, d2=d2, corr=corr
+        )
 
     def cond(carry: _Carry):
-        return (carry.it < config.max_iterations) & (
-            carry.delta > config.transformation_epsilon
-        )
+        small = carry.delta <= config.transformation_epsilon
+        if refresh > 1:
+            # a small step against *stale* matches is not convergence —
+            # only exit when the epsilon test passes on an iteration that
+            # ran a fresh NN search
+            fresh_last = ((carry.it - 1) % refresh) == 0
+            small = small & fresh_last
+        return (carry.it < config.max_iterations) & ~small
 
     n_src = source.points.shape[0]
     init_carry = _Carry(
         pose=init,
         it=jnp.zeros((), jnp.int32),
         delta=jnp.asarray(jnp.inf, source.points.dtype),
+        idx=jnp.zeros((n_src,), jnp.int32),
         d2=jnp.full((n_src,), jnp.inf, source.points.dtype),
         corr=jnp.zeros((n_src,), bool),
     )

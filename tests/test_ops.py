@@ -157,6 +157,18 @@ class TestIcp:
         assert float(se3.distance_rotation(res.pose, gt)) < 2e-2
         assert float(res.fitness) < 0.01
 
+    @pytest.mark.parametrize("refresh", [2, 3])
+    def test_correspondence_refresh_converges(self, refresh):
+        # reusing matches between NN refreshes must still recover the pose
+        source, target, gt = make_scan_pair(10)
+        cfg = IcpConfig(
+            mode="point", max_iterations=30, correspondence_refresh=refresh
+        )
+        res = icp_mod.icp(source, target, cfg)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.pose.t), np.asarray(gt.t), atol=3e-2)
+        assert float(se3.distance_rotation(res.pose, gt)) < 3e-2
+
     def test_noisy_scans(self):
         source, target, gt = make_scan_pair(11, noise=0.02)
         cfg = IcpConfig(mode="point", max_iterations=30)

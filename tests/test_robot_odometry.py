@@ -110,5 +110,6 @@ class TestWheelFusion:
             state = slam.ingest_wheel_odometry(state, se3.index(gt, i), cfg)
             state, out = step(state, scan, cfg)
         n_kf = int(state.keyframes.count)
-        # only sequential edges (+ possible loop closures, none expected here)
-        assert int(state.edges.count) == n_kf - 1
+        # only sequential edges + loop closures — crucially, no wheel edges
+        n_loops = int(state.num_loop_closures)
+        assert int(state.edges.count) == (n_kf - 1) + n_loops

@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--scans", type=int, default=30, help="timed scans")
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument(
+        "--refresh", type=int, default=1,
+        help="ICP correspondence_refresh (1 = PCL-parity fresh NN every iter)",
+    )
     ap.add_argument("--suite", action="store_true", help="also report graph-solve latency (stderr)")
     args = ap.parse_args()
 
@@ -56,7 +60,10 @@ def main() -> int:
 
     cfg = SlamConfig(
         voxel_leaf_size=0.2,
-        icp_odometry=IcpConfig(mode="plane", max_iterations=10),
+        icp_odometry=IcpConfig(
+            mode="plane", max_iterations=10,
+            correspondence_refresh=args.refresh,
+        ),
         max_points=8192,
         max_raw_points=32768,
     )

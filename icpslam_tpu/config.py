@@ -55,9 +55,12 @@ class IcpConfig:
     mode: str = "plane"
     # re-run the NN correspondence search every n-th ICP iteration and
     # reuse the matches (re-evaluated at the updated pose) in between.
-    # 1 = PCL-parity (fresh matches every iteration); 2 halves the NN
-    # sweeps — the dominant per-iteration cost — at equal ATE on the
-    # bench workload
+    # 1 = PCL-parity (fresh matches every iteration). Measured on a v5e
+    # chip (bench.py --refresh): >1 is *slower* (203-208 vs 240 scans/s)
+    # — the fused Pallas NN kernel is cheap enough that skipping sweeps
+    # loses to the stricter epsilon exit (a small step against stale
+    # matches can't end the loop, so iterations grow). Kept as a knob
+    # for CPU/interpret runs where NN dominates.
     correspondence_refresh: int = 1
     # True: fitness from an extra correspondence pass at the final pose
     # (exact PCL getFitnessScore semantics); False (default): reuse the

@@ -21,7 +21,20 @@ jit-compiled pipeline designed for TPU hardware:
 - ``io``/``eval`` — synthetic worlds, KITTI loading, ATE/RPE metrics
 """
 
-from icpslam_tpu import geometry, cloud, ops, mapping, graph, pipeline, io, eval, parallel, utils, viz  # noqa: F401
-from icpslam_tpu.config import SlamConfig  # noqa: F401
+import jax as _jax
+
+# SLAM is geometry-bound, not FLOPs-bound: every matmul in this package is
+# either tiny (3x3/6x6 pose algebra, Jacobian/Hessian einsums) or a fused
+# Pallas kernel with its own explicit precision. TPU's DEFAULT matmul
+# precision truncates f32 operands to bf16 (7 mantissa bits), which
+# measurably mis-selects ~17% of NN correspondences, corrupts squared
+# distances by O(|t||q|/2^8) at map-scale coordinates, and degrades every
+# rotation-matrix product — for negligible speed gain at these shapes.
+# Full-f32 is the only correct default here; kernels that can tolerate
+# lower precision must request it explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from icpslam_tpu import geometry, cloud, ops, mapping, graph, pipeline, io, eval, parallel, utils, viz  # noqa: E402,F401
+from icpslam_tpu.config import SlamConfig  # noqa: E402,F401
 
 __version__ = "0.1.0"

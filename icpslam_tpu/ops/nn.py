@@ -52,10 +52,11 @@ def nearest_neighbors(
     scales with fill, not capacity; the XLA path ignores it (masking
     already guarantees correctness).
 
-    On TPU, tile-divisible shapes dispatch to the fused Pallas kernel
-    (``ops.pallas.nn_kernel``): measured on v5e vs the XLA path, 1.6x at
-    8192x8192 and 5.8x at 8192x262144 (30x with ``valid_len`` at ~21k
-    fill); everything else takes the blocked-matmul XLA path below.
+    On TPU, tile-divisible shapes dispatch to the fused subtraction-form
+    Pallas kernel (``ops.pallas.nn_kernel.nearest_neighbors_pallas3``):
+    measured on v5e vs the (precision-fixed) XLA path, 1.7x at 8192x8192
+    and 4x at 8192x262144 (21x with ``valid_len`` at ~21k fill); everything
+    else takes the blocked-matmul XLA path below.
     """
     from icpslam_tpu.ops.pallas import nn_kernel  # local import: avoids cycle
 
@@ -63,12 +64,18 @@ def nearest_neighbors(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and tiles is not None
     if use_pallas and tiles is not None:
-        return nn_kernel.nearest_neighbors_pallas(
+        return nn_kernel.nearest_neighbors_pallas3(
             query, target, target_mask, valid_len=valid_len,
             bq=tiles[0], bt=tiles[1],
         )
     n = query.shape[0]
     np_ = _pad_blocks(n, block)
+    # center on the query centroid: NN is translation-invariant; small
+    # coordinates curb cancellation in |q|² − 2q·t + |t|² when the map
+    # frame has drifted far from the origin
+    center = jnp.mean(query, axis=0, keepdims=True)
+    query = query - center
+    target = target - center
     qpad = jnp.pad(query, ((0, np_ - n), (0, 0)))
     qblocks = qpad.reshape(np_ // block, block, 3)
 
@@ -77,8 +84,13 @@ def nearest_neighbors(
     tT = target.T  # (3, M)
 
     def one_block(qb):
-        # (B, M) distance via MXU cross-term
-        cross = jnp.dot(qb, tT, preferred_element_type=jnp.float32)
+        # (B, M) distance via MXU cross-term. HIGHEST: the TPU default
+        # truncates f32 matmul operands to bf16, which mis-selects ~17% of
+        # neighbors and corrupts d² by O(|t||q|/2⁸) (measured on v5e).
+        cross = jnp.dot(
+            qb, tT, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         d2 = jnp.sum(qb * qb, axis=-1)[:, None] - 2.0 * cross + t_norm2[None, :]
         idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
         best = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
@@ -115,6 +127,9 @@ def knn(
     """
     n = query.shape[0]
     np_ = _pad_blocks(n, block)
+    center = jnp.mean(query, axis=0, keepdims=True)
+    query = query - center
+    target = target - center
     qpad = jnp.pad(query, ((0, np_ - n), (0, 0)))
     qblocks = qpad.reshape(np_ // block, block, 3)
 
@@ -123,7 +138,10 @@ def knn(
     tT = target.T
 
     def one_block(qb):
-        cross = jnp.dot(qb, tT, preferred_element_type=jnp.float32)
+        cross = jnp.dot(
+            qb, tT, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         d2 = jnp.sum(qb * qb, axis=-1)[:, None] - 2.0 * cross + t_norm2[None, :]
         if approx:
             neg_top, idx = jax.lax.approx_max_k(-d2, k)

@@ -1,20 +1,31 @@
-"""Pallas TPU kernel: fused 1-NN (distance + argmin).
+"""Pallas TPU kernels: fused 1-NN (distance + argmin).
 
 The XLA path (``ops.nn``) computes ``d² = |q|² − 2q·tᵀ + |t|²`` blockwise
 and argmins — XLA materializes each (B, M) distance block in HBM between
-the matmul and the reduction. This kernel fuses the whole pipeline in
-VMEM: the target cloud (coordinates transposed + padded to an (8, M)
-layout so the cross term is one MXU matmul per tile) stays resident
-on-chip, each query tile streams through, and the running (min, argmin)
-never leaves VMEM. One pass over the data at HBM speed-of-light.
+the matmul and the reduction. These kernels fuse the whole pipeline in
+VMEM: the target cloud stays resident on-chip, each query tile streams
+through, and the running (min, argmin) never leaves VMEM.
+
+Two variants:
+- ``nearest_neighbors_pallas`` (v1): cross term as an MXU matmul at
+  ``Precision.HIGHEST`` (the TPU default truncates f32 operands to bf16,
+  which mis-selects ~17% of neighbors at map-scale coordinates); kept as
+  the reference formulation and A/B baseline.
+- ``nearest_neighbors_pallas3`` (v3, the dispatch target): subtraction
+  form ``Σ_c (t_c − q_c)²`` entirely on the VPU — exact f32 with no
+  cancellation (measured faster than v1: the 8-deep contraction runs the
+  MXU at ~6% utilization, so 6 HIGHEST passes cost more than 9 VPU
+  passes), plus a packed single-reduce min/argmin.
 
 Layout notes (see /opt/skills/guides/pallas_guide.md):
 - coordinate dim padded 3→8 (f32 sublane quantum); zero rows are inert in
   the dot product
 - last dims are multiples of 128 (lane width); callers pad query/target
   counts (capacities are powers of two throughout the pipeline)
-- masked targets carry +inf in the precomputed |t|² row, so they never
-  win the argmin
+- masked targets carry +inf in the precomputed |t|² row (v1) or a large
+  finite penalty row (v3), so they never win the argmin
+- both wrappers center coordinates on the query centroid (translation
+  invariant; curbs cancellation / keeps quantization headroom)
 """
 
 from __future__ import annotations
@@ -23,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -86,9 +98,13 @@ def _nn_kernel(vl_ref, qT_ref, tT_ref, tn2_ref, idx_ref, d2_ref, *, bt: int):
         # (1, BQ) output layout — no per-step transposes.
         qT = qT_ref[:, :]  # (8, BQ)
         qn2 = jnp.sum(qT * qT, axis=0, keepdims=True)  # (1, BQ)
+        # HIGHEST: the MXU's default f32 path truncates operands to bf16,
+        # which mis-selects ~17% of neighbors and corrupts d² by O(|t||q|/2⁸)
+        # at map-scale coordinates (measured on v5e) — see ops/nn.py notes
         cross = jax.lax.dot_general(
             tT_ref[:, :], qT, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (BT, BQ)
         d2 = tn2_ref[0, :][:, None] - 2.0 * cross + qn2
         local_min = jnp.min(d2, axis=0)  # (BQ,) lane layout
@@ -127,6 +143,12 @@ def nearest_neighbors_pallas(
     m = target.shape[0]
     if n % bq or m % bt:
         raise ValueError(f"shapes ({n},{m}) not divisible by tiles ({bq},{bt})")
+
+    # translation-invariant: center on the query centroid to curb
+    # cancellation in tn2 − 2c + qn2 at far-from-origin map coordinates
+    center = jnp.mean(query, axis=0, keepdims=True)
+    query = query - center
+    target = target - center
 
     qT = jnp.zeros((8, n), jnp.float32).at[:3, :].set(query.T)
     tT = jnp.zeros((8, m), jnp.float32).at[:3, :].set(target.T)
@@ -179,6 +201,143 @@ def nearest_neighbors_pallas(
 
 
 # ---------------------------------------------------------------------------
+# v3 kernel: pure-VPU subtraction-form d² — exact f32, no MXU at all
+# ---------------------------------------------------------------------------
+
+# masked targets carry this penalty in their row 3: big enough to never win
+# against a real match, small enough to stay finite under the packed min
+_MASK_SENTINEL = 1e30
+# running-min init: larger than any sentinel-laden d², still finite f32
+_INIT_F32 = 3e38
+
+
+def _nn3_kernel(vl_ref, qT_ref, tT_ref, jwin_ref, pk_ref, *, bt: int, ib: int):
+    """Grid step (i, j): query tile i vs target tile j, d² on the VPU.
+
+    The matmul formulation ``|t|² − 2t·q + |q|²`` needs either full-f32
+    MXU passes (6x, and the 8-deep contraction runs the MXU at ~6%
+    utilization) or suffers bf16 operand truncation; the subtraction form
+    ``Σ_c (t_c − q_c)²`` is exact f32 with *no* cancellation, and at 3
+    coordinates costs fewer VPU passes than the matmul's padding tricks.
+    Target coordinates arrive lane-major and are transposed per tile
+    ((1, BT) → (BT, 1) relayout — negligible next to the (BT, BQ) work).
+    Row 3 of the target tile carries the mask penalty (0 live, big dead).
+    Reduction is the packed min/argmin of the v2 kernel.
+    """
+    j = pl.program_id(1)
+    mask = (1 << ib) - 1
+    init = int(np.float32(_INIT_F32).view(np.int32)) & ~mask
+
+    @pl.when(j == 0)
+    def _():
+        pk_ref[:, :] = jnp.full_like(pk_ref, init)
+        jwin_ref[:, :] = jnp.zeros_like(jwin_ref)
+
+    @pl.when(j * bt < vl_ref[0])
+    def _():
+        t0 = tT_ref[0, :][:, None]  # (BT, 1)
+        t1 = tT_ref[1, :][:, None]
+        t2 = tT_ref[2, :][:, None]
+        pen = tT_ref[3, :][:, None]
+        q0 = qT_ref[0:1, :]  # (1, BQ)
+        q1 = qT_ref[1:2, :]
+        q2 = qT_ref[2:3, :]
+        e0 = t0 - q0
+        e1 = t1 - q1
+        e2 = t2 - q2
+        d2 = e0 * e0 + e1 * e1 + e2 * e2 + pen  # (BT, BQ), exact f32
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        packed = (jax.lax.bitcast_convert_type(d2, jnp.int32) & ~mask) | idx
+        local = jnp.min(packed, axis=0)
+
+        best = pk_ref[0, :]
+        better = local < best
+        pk_ref[0, :] = jnp.where(better, local, best)
+        jwin_ref[0, :] = jnp.where(better, j, jwin_ref[0, :])
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bt", "interpret"))
+def nearest_neighbors_pallas3(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    valid_len: jnp.ndarray | None = None,
+    bq: int = DEFAULT_BQ,
+    bt: int = DEFAULT_BT,
+    interpret: bool = False,
+) -> NNResult:
+    """Exact 1-NN, v3: subtraction-form d² on the VPU (no MXU).
+
+    Same contract as ``nearest_neighbors_pallas``; selection is exact f32
+    up to the ``ib``-bit packing quantization (lowest index on quantized
+    ties); the returned ``dist2`` is recomputed exactly from the winner.
+    """
+    n = query.shape[0]
+    m = target.shape[0]
+    if n % bq or m % bt:
+        raise ValueError(f"shapes ({n},{m}) not divisible by tiles ({bq},{bt})")
+    ib = (bt - 1).bit_length()
+
+    # centering keeps |coords| small so the packed-d² quantization (a
+    # *relative* ib-bit floor) stays negligible near the true neighbors
+    center = jnp.mean(query, axis=0, keepdims=True)
+    qc = query - center
+    tc = target - center
+
+    qT = jnp.zeros((8, n), jnp.float32).at[:3, :].set(qc.T)
+    tT = (
+        jnp.zeros((8, m), jnp.float32)
+        .at[:3, :].set(tc.T)
+        .at[3, :].set(jnp.where(target_mask, 0.0, _MASK_SENTINEL))
+    )
+
+    if valid_len is None:
+        vl = jnp.full((1,), m, jnp.int32)
+    else:
+        vl = jnp.asarray(valid_len, jnp.int32).reshape(1)
+
+    def tgt_block(i, j, vl_ref):
+        last = jnp.maximum((vl_ref[0] + bt - 1) // bt - 1, 0)
+        return (0, jnp.minimum(j, last))
+
+    grid = (n // bq, m // bt)
+    jwin, pk = pl.pallas_call(
+        functools.partial(_nn3_kernel, bt=bt, ib=ib),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, bq), lambda i, j, vl_ref: (0, i)),
+                pl.BlockSpec((8, bt), tgt_block),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq), lambda i, j, vl_ref: (0, i)),
+                pl.BlockSpec((1, bq), lambda i, j, vl_ref: (0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=9 * n * m,
+            bytes_accessed=(8 * n + 8 * m + 2 * n) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vl, qT, tT)
+
+    mask = (1 << ib) - 1
+    idx = jwin[0] * bt + (pk[0] & mask)
+    d2q = jax.lax.bitcast_convert_type(pk[0] & ~mask, jnp.float32)
+    diff = qc - tc[idx]
+    d2 = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
+    d2 = jnp.where(d2q > 1e29, jnp.inf, d2)
+    return NNResult(idx=idx, dist2=d2)
+
+
+# ---------------------------------------------------------------------------
 # Exact k-NN: k successive 1-NN passes, each excluding previous winners
 # ---------------------------------------------------------------------------
 
@@ -201,6 +360,7 @@ def _nn_excl_kernel(qT_ref, tT_ref, tn2_ref, excl_ref, idx_ref, d2_ref, *, bt: i
     cross = jax.lax.dot_general(
         tT_ref[:, :], qT, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (BT, BQ)
     d2 = tn2_ref[0, :][:, None] - 2.0 * cross + qn2
     t_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + j * bt

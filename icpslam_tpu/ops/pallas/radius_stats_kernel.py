@@ -46,6 +46,7 @@ def _stats_kernel(qT_ref, tT_ref, tn2_ref, feats_ref, acc_ref, *, r2: float,
     cross = jax.lax.dot_general(
         tT_ref[:, :], qT, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (BT, BQ)
     d2 = tn2_ref[0, :][:, None] - 2.0 * cross + qn2
     inside = d2 < r2  # masked targets have tn2=+inf → False
@@ -58,6 +59,7 @@ def _stats_kernel(qT_ref, tT_ref, tn2_ref, feats_ref, acc_ref, *, r2: float,
     acc_ref[:, :] += jax.lax.dot_general(
         feats_ref[:, :], w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -91,6 +93,14 @@ def radius_moments(
     m = target.shape[0]
     if n % bq or m % bt:
         raise ValueError(f"shapes ({n},{m}) not divisible by tiles ({bq},{bt})")
+
+    # center on the query centroid: radius membership and the covariance
+    # are translation-invariant, and small coordinates keep the second
+    # moments small — cov = E[ppᵀ] − μμᵀ cancels catastrophically when
+    # |p| ≫ the neighborhood scale (map frames drift arbitrarily far)
+    center = jnp.mean(query, axis=0, keepdims=True)
+    query = query - center
+    target = target - center
 
     qT = jnp.zeros((8, n), jnp.float32).at[:3, :].set(query.T)
     tT = jnp.zeros((8, m), jnp.float32).at[:3, :].set(target.T)
@@ -145,7 +155,7 @@ def radius_moments(
     has = count > 0
     return (
         count,
-        jnp.where(has[:, None], mean, 0.0),
+        jnp.where(has[:, None], mean + center, 0.0),
         jnp.where(has[:, None, None], cov, 0.0),
     )
 
@@ -159,6 +169,9 @@ def radius_moments_xla(
     block: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """XLA fallback with identical semantics (blocked over queries)."""
+    center = jnp.mean(query, axis=0, keepdims=True)
+    query = query - center
+    target = target - center
     m = target.shape[0]
     tn2 = jnp.sum(target * target, axis=-1)
     tn2 = jnp.where(target_mask, tn2, jnp.inf)
@@ -175,7 +188,10 @@ def radius_moments_xla(
     )  # (10, M)
 
     def one(qb):
-        cross = jnp.dot(qb, target.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(
+            qb, target.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         d2 = jnp.sum(qb * qb, -1)[:, None] - 2.0 * cross + tn2[None, :]
         inside = d2 < r2
         if inv2s2 > 0.0:
@@ -203,6 +219,6 @@ def radius_moments_xla(
     has = count > 0
     return (
         count,
-        jnp.where(has[:, None], mean, 0.0),
+        jnp.where(has[:, None], mean + center, 0.0),
         jnp.where(has[:, None, None], cov, 0.0),
     )

@@ -6,31 +6,48 @@ import numpy as np
 import pytest
 
 from icpslam_tpu.ops import nn as nn_ops
-from icpslam_tpu.ops.pallas.nn_kernel import nearest_neighbors_pallas
+from icpslam_tpu.ops.pallas.nn_kernel import (
+    nearest_neighbors_pallas,
+    nearest_neighbors_pallas3,
+)
+
+KERNELS = [nearest_neighbors_pallas, nearest_neighbors_pallas3]
+IDS = ["v1-matmul", "v3-vpu"]
 
 
+@pytest.mark.parametrize("kernel", KERNELS, ids=IDS)
 class TestPallasNN:
-    def test_matches_xla_path(self):
+    def test_matches_xla_path(self, kernel):
         rng = np.random.RandomState(0)
         q = jnp.asarray(rng.randn(512, 3), jnp.float32)
         t = jnp.asarray(rng.randn(512, 3), jnp.float32)
         tm = jnp.asarray(rng.rand(512) > 0.2)
         ref = nn_ops.nearest_neighbors(q, t, tm, use_pallas=False)
-        got = nearest_neighbors_pallas(q, t, tm, bq=256, bt=128, interpret=True)
+        got = kernel(q, t, tm, bq=256, bt=128, interpret=True)
         np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
         np.testing.assert_allclose(
             np.asarray(got.dist2), np.asarray(ref.dist2), atol=1e-4
         )
 
-    def test_all_masked_targets(self):
+    def test_far_from_origin(self, kernel):
+        # map frames drift arbitrarily far from the origin; selection must
+        # not degrade (the historic bf16-truncation + cancellation trap)
+        rng = np.random.RandomState(11)
+        q64 = rng.randn(512, 3) * 5 + 300.0
+        t64 = rng.randn(512, 3) * 5 + 300.0
+        q = jnp.asarray(q64, jnp.float32)
+        t = jnp.asarray(t64, jnp.float32)
+        d = ((np.asarray(q, np.float64)[:, None] - np.asarray(t, np.float64)[None]) ** 2).sum(-1)
+        got = kernel(q, t, jnp.ones(512, bool), bq=256, bt=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.idx), d.argmin(1))
+
+    def test_all_masked_targets(self, kernel):
         q = jnp.zeros((256, 3))
         t = jnp.ones((128, 3))
-        got = nearest_neighbors_pallas(
-            q, t, jnp.zeros(128, bool), bq=256, bt=128, interpret=True
-        )
+        got = kernel(q, t, jnp.zeros(128, bool), bq=256, bt=128, interpret=True)
         assert np.all(np.isinf(np.asarray(got.dist2)))
 
-    def test_valid_len_prefix_matches_masked(self):
+    def test_valid_len_prefix_matches_masked(self, kernel):
         # a prefix-filled buffer with valid_len must give the same result
         # as masking alone (and skip the dead tiles on real hardware)
         rng = np.random.RandomState(7)
@@ -39,7 +56,7 @@ class TestPallasNN:
         live = 200  # not tile-aligned on purpose
         tm = jnp.arange(512) < live
         ref = nn_ops.nearest_neighbors(q, t, tm, use_pallas=False)
-        got = nearest_neighbors_pallas(
+        got = kernel(
             q, t, tm, valid_len=jnp.asarray(live, jnp.int32),
             bq=256, bt=128, interpret=True,
         )
@@ -48,28 +65,28 @@ class TestPallasNN:
             np.asarray(got.dist2), np.asarray(ref.dist2), atol=1e-4
         )
 
-    def test_valid_len_zero_all_inf(self):
+    def test_valid_len_zero_all_inf(self, kernel):
         q = jnp.zeros((256, 3))
         t = jnp.ones((256, 3))
-        got = nearest_neighbors_pallas(
+        got = kernel(
             q, t, jnp.zeros(256, bool), valid_len=jnp.asarray(0, jnp.int32),
             bq=256, bt=128, interpret=True,
         )
         assert np.all(np.isinf(np.asarray(got.dist2)))
 
-    def test_indivisible_raises(self):
+    def test_indivisible_raises(self, kernel):
         with pytest.raises(ValueError):
-            nearest_neighbors_pallas(
+            kernel(
                 jnp.zeros((100, 3)), jnp.zeros((128, 3)), jnp.ones(128, bool),
                 interpret=True,
             )
 
-    def test_dispatcher_fallback_on_cpu(self):
-        # on CPU the dispatcher must take the XLA path silently
-        q = jnp.zeros((256, 3))
-        t = jnp.ones((512, 3))
-        res = nn_ops.nearest_neighbors(q, t, jnp.ones(512, bool))
-        assert res.idx.shape == (256,)
+def test_dispatcher_fallback_on_cpu():
+    # on CPU the dispatcher must take the XLA path silently
+    q = jnp.zeros((256, 3))
+    t = jnp.ones((512, 3))
+    res = nn_ops.nearest_neighbors(q, t, jnp.ones(512, bool))
+    assert res.idx.shape == (256,)
 
 
 class TestPallasKNN:

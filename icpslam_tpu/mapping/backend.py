@@ -32,9 +32,17 @@ def reset(map_: MapState) -> MapState:
     return vm.reset(map_)
 
 
-def insert(map_: MapState, cloud: PointCloud, resolution: float) -> MapState:
+def insert(
+    map_: MapState,
+    cloud: PointCloud,
+    resolution: float,
+    covs: jnp.ndarray | None = None,
+) -> MapState:
+    """``covs``: optional (N, 3, 3) map-frame surface covariances stored
+    with the points (point backend only; the voxel backend ignores them —
+    its plane-mode queries recompute covariances from the NN cloud)."""
     if isinstance(map_, pm.PointMap):
-        return pm.insert(map_, cloud, resolution)
+        return pm.insert(map_, cloud, resolution, covs=covs)
     return vm.insert(map_, cloud, resolution)
 
 
@@ -43,6 +51,7 @@ def insert_reusing_nn(
     cloud: PointCloud,
     resolution: float,
     nn_dist2: jnp.ndarray,
+    covs: jnp.ndarray | None = None,
 ) -> MapState:
     """Insert with a precomputed per-point NN distance to the map.
 
@@ -51,7 +60,7 @@ def insert_reusing_nn(
     plain insert.
     """
     if isinstance(map_, pm.PointMap):
-        return pm.insert_with_nn(map_, cloud, resolution, nn_dist2)
+        return pm.insert_with_nn(map_, cloud, resolution, nn_dist2, covs=covs)
     return vm.insert(map_, cloud, resolution)
 
 
@@ -65,4 +74,26 @@ def query_nn(
         return pm.exact_nn(map_, points, mask)
     return vm.approx_nn(
         map_, points, mask, config.map_resolution, radius=config.map_nn_radius
+    )
+
+
+def query_nn_with_covs(
+    map_: MapState,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    config: SlamConfig,
+):
+    """NN query returning stored covariances when the backend carries them.
+
+    Returns ``(MapNNResult, covs_or_None)`` — ``covs`` is (Q, 3, 3) in the
+    *map* frame for the point backend, ``None`` for the voxel backend
+    (whose callers recompute from the NN cloud).
+    """
+    if isinstance(map_, pm.PointMap):
+        return pm.exact_nn_with_covs(map_, points, mask)
+    return (
+        vm.approx_nn(
+            map_, points, mask, config.map_resolution, radius=config.map_nn_radius
+        ),
+        None,
     )

@@ -13,6 +13,14 @@ backend drops it entirely:
   most √3·res apart), enforced with one exact-NN pass
 - per-scan self-dedup still uses the voxel downsample (one centroid per
   voxel), so a single insert cannot flood a region
+- each map point optionally carries its **GICP surface covariance**
+  (packed symmetric 3×3, map frame), stored at insert time from the scan
+  whose neighborhood already computed it — so scan-to-map plane ICP
+  *gathers* target covariances with the NN result instead of re-running
+  a neighborhood pass over the NN cloud every scan (the reference
+  recomputes them inside PCL GICP each call,
+  ``octree_mapper.cpp:101-124``; same surface, same statistic, computed
+  once instead of per-query)
 
 Insert cost ≈ one NN pass + one small append scatter; queries are the
 same exact-NN kernel. Selected with ``config.map_backend == 'point'``
@@ -22,7 +30,7 @@ spatially-sharded multi-device map.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -30,10 +38,15 @@ from icpslam_tpu.cloud.pointcloud import PointCloud
 from icpslam_tpu.cloud.voxel import voxel_downsample
 from icpslam_tpu.mapping.voxel_map import MapNNResult
 from icpslam_tpu.ops import nn as nn_ops
+from icpslam_tpu.ops.linalg3 import pack_sym3, unpack_sym3
+
+# packed identity covariance [xx, yy, zz, xy, xz, yz]
+_EYE6 = (1.0, 1.0, 1.0, 0.0, 0.0, 0.0)
 
 
 class PointMap(NamedTuple):
     points: jnp.ndarray    # (C, 3)
+    covs: jnp.ndarray      # (C, 6) packed symmetric GICP covariance (map frame)
     size: jnp.ndarray      # int32 live points
     overflow: jnp.ndarray  # int32 points dropped at capacity
 
@@ -51,6 +64,7 @@ class PointMap(NamedTuple):
 def empty_map(capacity: int, dtype=jnp.float32) -> PointMap:
     return PointMap(
         points=jnp.zeros((capacity, 3), dtype),
+        covs=jnp.broadcast_to(jnp.asarray(_EYE6, dtype), (capacity, 6)),
         size=jnp.asarray(0, jnp.int32),
         overflow=jnp.asarray(0, jnp.int32),
     )
@@ -60,9 +74,48 @@ def reset(pmap: PointMap) -> PointMap:
     return empty_map(pmap.capacity, pmap.points.dtype)
 
 
-def insert(pmap: PointMap, cloud: PointCloud, resolution: float) -> PointMap:
-    """Distance-gated append of a (map-frame) cloud."""
+def _append(
+    pmap: PointMap,
+    points: jnp.ndarray,
+    new: jnp.ndarray,
+    covs: Optional[jnp.ndarray],
+) -> PointMap:
+    """Scatter-append the ``new``-masked points (and covariances)."""
     C = pmap.capacity
+    pos = pmap.size + jnp.cumsum(new.astype(jnp.int32)) - 1
+    pos = jnp.where(new & (pos < C), pos, C)
+    out_points = pmap.points.at[pos].set(points, mode="drop")
+    if covs is None:
+        packed = jnp.broadcast_to(
+            jnp.asarray(_EYE6, pmap.covs.dtype), (points.shape[0], 6)
+        )
+    else:
+        packed = pack_sym3(covs) if covs.ndim == 3 else covs
+    out_covs = pmap.covs.at[pos].set(packed, mode="drop")
+    n_new = jnp.sum(new.astype(jnp.int32))
+    total = pmap.size + n_new
+    return PointMap(
+        points=out_points,
+        covs=out_covs,
+        size=jnp.minimum(total, C),
+        overflow=pmap.overflow + jnp.maximum(total - C, 0),
+    )
+
+
+def insert(
+    pmap: PointMap,
+    cloud: PointCloud,
+    resolution: float,
+    covs: Optional[jnp.ndarray] = None,
+) -> PointMap:
+    """Distance-gated append of a (map-frame) cloud.
+
+    ``covs``: optional (N, 3, 3) map-frame surface covariances stored with
+    the inserted points (identity when omitted). Note the voxel
+    downsample inside reorders points, so ``covs`` given here must match
+    the *downsampled* order — callers with per-point covariances should
+    pre-downsample and use ``insert_with_nn`` instead.
+    """
     filt, _ = voxel_downsample(cloud, resolution, cloud.capacity)
     res = nn_ops.nearest_neighbors(
         filt.points, pmap.points, pmap.occupancy_mask(), valid_len=pmap.size
@@ -70,16 +123,7 @@ def insert(pmap: PointMap, cloud: PointCloud, resolution: float) -> PointMap:
     # no existing map point within `resolution` → genuinely new surface
     far = ~(res.dist2 < resolution * resolution)  # True also when dist2=inf
     new = filt.mask & far
-    pos = pmap.size + jnp.cumsum(new.astype(jnp.int32)) - 1
-    pos = jnp.where(new & (pos < C), pos, C)
-    points = pmap.points.at[pos].set(filt.points, mode="drop")
-    n_new = jnp.sum(new.astype(jnp.int32))
-    total = pmap.size + n_new
-    return PointMap(
-        points=points,
-        size=jnp.minimum(total, C),
-        overflow=pmap.overflow + jnp.maximum(total - C, 0),
-    )
+    return _append(pmap, filt.points, new, covs)
 
 
 def insert_with_nn(
@@ -87,6 +131,7 @@ def insert_with_nn(
     cloud: PointCloud,
     resolution: float,
     nn_dist2: jnp.ndarray,
+    covs: Optional[jnp.ndarray] = None,
 ) -> PointMap:
     """Distance-gated append reusing a precomputed NN distance per point.
 
@@ -100,20 +145,13 @@ def insert_with_nn(
     correction is ≪ resolution for accepted scans. The cloud must already
     be self-deduplicated (one point per ``resolution`` cell — true for
     voxel-filtered scans with leaf ≥ resolution).
+
+    ``covs``: optional (N, 3, 3) map-frame covariances, aligned with
+    ``cloud`` (identity when omitted).
     """
-    C = pmap.capacity
     far = ~(nn_dist2 < resolution * resolution)  # True also when dist2=inf
     new = cloud.mask & far
-    pos = pmap.size + jnp.cumsum(new.astype(jnp.int32)) - 1
-    pos = jnp.where(new & (pos < C), pos, C)
-    points = pmap.points.at[pos].set(cloud.points, mode="drop")
-    n_new = jnp.sum(new.astype(jnp.int32))
-    total = pmap.size + n_new
-    return PointMap(
-        points=points,
-        size=jnp.minimum(total, C),
-        overflow=pmap.overflow + jnp.maximum(total - C, 0),
-    )
+    return _append(pmap, cloud.points, new, covs)
 
 
 def exact_nn(pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray) -> MapNNResult:
@@ -121,12 +159,37 @@ def exact_nn(pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray) -> MapNNRes
 
     The append-only map is prefix-filled, so the kernel sweeps only the
     live tiles — query cost scales with map *fill*, not capacity."""
+    res, _ = _exact_nn_idx(pmap, points, mask)
+    return res
+
+
+def exact_nn_with_covs(
+    pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray
+) -> Tuple[MapNNResult, jnp.ndarray]:
+    """Exact NN plus the stored (map-frame) covariance of each winner.
+
+    Returns ``(MapNNResult, covs (Q, 3, 3))`` — identity covariance where
+    nothing was found.
+    """
+    res, idx = _exact_nn_idx(pmap, points, mask)
+    packed = pmap.covs[idx]  # (Q, 6)
+    eye6 = jnp.asarray(_EYE6, pmap.covs.dtype)
+    packed = jnp.where(res.found[:, None], packed, eye6)
+    return res, unpack_sym3(packed)
+
+
+def _exact_nn_idx(
+    pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray
+) -> Tuple[MapNNResult, jnp.ndarray]:
     res = nn_ops.nearest_neighbors(
         points, pmap.points, pmap.occupancy_mask(), valid_len=pmap.size
     )
     found = mask & jnp.isfinite(res.dist2)
-    return MapNNResult(
-        points=jnp.where(found[:, None], pmap.points[res.idx], 0.0),
-        dist2=jnp.where(found, res.dist2, jnp.inf),
-        found=found,
+    return (
+        MapNNResult(
+            points=jnp.where(found[:, None], pmap.points[res.idx], 0.0),
+            dist2=jnp.where(found, res.dist2, jnp.inf),
+            found=found,
+        ),
+        res.idx,
     )

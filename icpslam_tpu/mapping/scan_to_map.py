@@ -15,6 +15,15 @@ Functional equivalent of ``OctreeMapper::refineTransformAndGrowMap``
 
 Everything is a single jit-compatible function with ``lax.cond`` routing —
 the empty-map and failure branches stay data-dependent but compiled.
+
+Plane-mode target covariances: the reference re-estimates GICP
+covariances inside PCL for the NN cloud on every call
+(``octree_mapper.cpp:101-124`` internals). Here the point-map backend
+*stores* each map point's covariance at insert time (rotated from the
+sensor frame of the scan that contributed it) and the NN query gathers it
+— same surface statistic, computed once per point instead of once per
+query, saving a full neighborhood pass per scan. The voxel backend keeps
+the recompute path.
 """
 
 from __future__ import annotations
@@ -26,9 +35,11 @@ import jax.numpy as jnp
 
 from icpslam_tpu.cloud import pointcloud as pc
 from icpslam_tpu.config import SlamConfig
+from icpslam_tpu.geometry import quaternion as quat
 from icpslam_tpu.geometry import se3
 from icpslam_tpu.geometry.se3 import Pose
 from icpslam_tpu.mapping import backend as map_backend
+from icpslam_tpu.mapping import point_map as pm
 from icpslam_tpu.ops import icp as icp_ops
 
 
@@ -39,6 +50,11 @@ class RefineResult(NamedTuple):
     fitness: jnp.ndarray
     nn_found: jnp.ndarray     # int32: scan points with a map NN
     map: map_backend.MapState  # grown (or seeded) map
+
+
+def _rotate_covs(covs: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """R C Rᵀ for a batch of 3×3 covariances."""
+    return jnp.einsum("ij,njk,lk->nil", R, covs, R)
 
 
 def refine_and_grow(
@@ -58,11 +74,36 @@ def refine_and_grow(
     """
     icfg = config.icp_mapping
     res_m = config.map_resolution
+    plane = icfg.mode == "plane"
+    point_backend = isinstance(map_, pm.PointMap)
+    # the point backend stores covariances only when a plane-mode mapper
+    # will consume them; identity covs otherwise (zero cost either way)
+    store_covs = plane and point_backend
+    # a cloud already one-point-per-cell (leaf ≥ map resolution) can be
+    # appended without the reordering voxel pass, which keeps per-point
+    # covariances aligned
+    aligned_insert = point_backend and config.voxel_leaf_size >= res_m
+
+    if plane and scan_covs is None:
+        # local import: pipeline.odometry imports nothing from mapping,
+        # but the package __init__ chain would cycle at module load
+        from icpslam_tpu.pipeline.odometry import compute_covariances
+
+        scan_covs = compute_covariances(scan, icfg)
+
     cloud_in_map = pc.transform(raw_pose, scan)
     map_empty = map_.size == 0
 
     def seed(_):
-        grown = map_backend.insert(map_, cloud_in_map, res_m)
+        if store_covs and aligned_insert:
+            covs_map = _rotate_covs(scan_covs, quat.to_matrix(raw_pose.q))
+            grown = map_backend.insert_reusing_nn(
+                map_, cloud_in_map, res_m,
+                jnp.full((scan.capacity,), jnp.inf, jnp.float32),
+                covs=covs_map,
+            )
+        else:
+            grown = map_backend.insert(map_, cloud_in_map, res_m)
         return RefineResult(
             success=jnp.asarray(False),
             refined_pose=raw_pose,
@@ -73,7 +114,7 @@ def refine_and_grow(
         )
 
     def refine(_):
-        nn = map_backend.query_nn(
+        nn, map_covs = map_backend.query_nn_with_covs(
             map_, cloud_in_map.points, cloud_in_map.mask, config
         )
         # NN points back into the robot frame (reference ``:149``)
@@ -84,16 +125,17 @@ def refine_and_grow(
             ),
             mask=nn.found,
         )
-        plane = icfg.mode == "plane"
         kwargs = {}
         if plane:
-            from icpslam_tpu.pipeline.odometry import compute_covariances
+            if map_covs is not None:
+                # stored map-frame covariances → robot frame: Rᵀ C R
+                R = quat.to_matrix(raw_pose.q)
+                target_covs = _rotate_covs(map_covs, R.T)
+            else:
+                from icpslam_tpu.pipeline.odometry import compute_covariances
 
-            kwargs = dict(
-                source_covs=scan_covs if scan_covs is not None
-                else compute_covariances(scan, icfg),
-                target_covs=compute_covariances(nn_robot, icfg),
-            )
+                target_covs = compute_covariances(nn_robot, icfg)
+            kwargs = dict(source_covs=scan_covs, target_covs=target_covs)
         icp_res = icp_ops.icp(scan, nn_robot, icfg, **kwargs)
         # reference accepts on hasConverged() alone here (no fitness gate,
         # ``octree_mapper.cpp:117``)
@@ -104,13 +146,18 @@ def refine_and_grow(
         )
         refined = se3.normalize(se3.compose(raw_pose, correction))
         grow_cloud = pc.transform(refined, scan)
-        if config.voxel_leaf_size >= res_m:
+        grow_covs = (
+            _rotate_covs(scan_covs, quat.to_matrix(refined.q))
+            if store_covs and aligned_insert
+            else None
+        )
+        if aligned_insert:
             # the scan is already one-point-per-res_m-cell (leaf ≥ map
             # resolution) and we just measured every point's distance to
             # the map — reuse it for the dedup gate instead of paying a
             # second full NN sweep inside insert
             grown = map_backend.insert_reusing_nn(
-                map_, grow_cloud, res_m, nn.dist2
+                map_, grow_cloud, res_m, nn.dist2, covs=grow_covs
             )
         else:
             grown = map_backend.insert(map_, grow_cloud, res_m)

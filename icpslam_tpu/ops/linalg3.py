@@ -125,3 +125,21 @@ def smallest_eigenvector_sym3(
     fb = jnp.asarray(fallback, dtype=A.dtype)
     v = jnp.where(ok[..., None], v / jnp.where(ok[..., None], n, 1.0), fb)
     return v
+
+
+def pack_sym3(A: jnp.ndarray) -> jnp.ndarray:
+    """Pack symmetric (..., 3, 3) into (..., 6) as [xx, yy, zz, xy, xz, yz]."""
+    return jnp.stack(
+        [A[..., 0, 0], A[..., 1, 1], A[..., 2, 2],
+         A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]],
+        axis=-1,
+    )
+
+
+def unpack_sym3(p: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``pack_sym3``: (..., 6) → symmetric (..., 3, 3)."""
+    xx, yy, zz, xy, xz, yz = (p[..., i] for i in range(6))
+    row0 = jnp.stack([xx, xy, xz], axis=-1)
+    row1 = jnp.stack([xy, yy, yz], axis=-1)
+    row2 = jnp.stack([xz, yz, zz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)

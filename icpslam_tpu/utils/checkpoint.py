@@ -64,11 +64,28 @@ def rerender_map(state, config: SlamConfig):
     Returns a new ``SlamState`` with the regenerated map (used on resume
     and whenever a full map product is wanted after an optimize-reset).
     """
+    from icpslam_tpu.geometry import quaternion as quat
     from icpslam_tpu.mapping import backend as map_backend
+    from icpslam_tpu.mapping import point_map as pm
 
     store = state.keyframes
     n = int(state.keyframes.count)
     m = map_backend.empty(config)
+    # plane-mode point maps carry per-point covariances — restore them so
+    # resumed scan-to-map registration keeps its gathered target planes
+    with_covs = (
+        isinstance(m, pm.PointMap)
+        and config.icp_mapping.mode == "plane"
+        and config.voxel_leaf_size >= config.map_resolution
+    )
+    if with_covs:
+        import jax
+
+        from icpslam_tpu.pipeline.odometry import compute_covariances
+
+        cov_fn = jax.jit(
+            lambda c: compute_covariances(c, config.icp_mapping)
+        )
     for k in range(n):
         cloud = PointCloud(points=store.points[k], mask=store.point_mask[k])
         pose = se3.index(store.pose_graph, k)
@@ -76,5 +93,13 @@ def rerender_map(state, config: SlamConfig):
             points=se3.transform_points(pose, cloud.points) * cloud.mask[:, None],
             mask=cloud.mask,
         )
-        m = map_backend.insert(m, world, config.map_resolution)
+        if with_covs:
+            R = quat.to_matrix(pose.q)
+            covs_w = jnp.einsum("ij,njk,lk->nil", R, cov_fn(cloud), R)
+            nn = pm.exact_nn(m, world.points, world.mask)
+            m = pm.insert_with_nn(
+                m, world, config.map_resolution, nn.dist2, covs=covs_w
+            )
+        else:
+            m = map_backend.insert(m, world, config.map_resolution)
     return state._replace(map=m)

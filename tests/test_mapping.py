@@ -162,3 +162,88 @@ class TestScanToMap:
         np.testing.assert_allclose(
             np.asarray(res.refined_pose.t), np.zeros(3), atol=1e-7
         )
+
+
+class TestStoredCovariances:
+    """Point-map per-point covariance storage + gathering (scan-to-map
+    plane mode gathers target covariances instead of recomputing them)."""
+
+    def test_insert_and_gather_roundtrip(self):
+        import jax.numpy as jnp
+        from icpslam_tpu.mapping import point_map as pm
+
+        rng = np.random.RandomState(0)
+        pts = rng.randn(8, 3).astype(np.float32) * 5
+        # distinct anisotropic symmetric covariances
+        covs = np.stack([np.eye(3, dtype=np.float32) * (i + 1) for i in range(8)])
+        covs[:, 0, 1] = covs[:, 1, 0] = 0.25
+        m = pm.empty_map(32)
+        m = pm.insert_with_nn(
+            m,
+            pc.from_points(pts, capacity=8),
+            0.1,
+            jnp.full((8,), jnp.inf, jnp.float32),
+            covs=jnp.asarray(covs),
+        )
+        assert int(m.size) == 8
+        res, got = pm.exact_nn_with_covs(
+            m, jnp.asarray(pts), jnp.ones(8, bool)
+        )
+        assert bool(np.all(np.asarray(res.found)))
+        np.testing.assert_allclose(np.asarray(got), covs, atol=1e-6)
+
+    def test_unfound_gets_identity(self):
+        import jax.numpy as jnp
+        from icpslam_tpu.mapping import point_map as pm
+
+        m = pm.empty_map(16)  # empty → nothing found
+        res, got = pm.exact_nn_with_covs(
+            m, jnp.zeros((4, 3)), jnp.ones(4, bool)
+        )
+        assert not bool(np.any(np.asarray(res.found)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-6
+        )
+
+    def test_refine_uses_stored_covs_and_matches_recompute_quality(self):
+        """Plane-mode scan-to-map with gathered covariances still recovers
+        a known small offset."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        from icpslam_tpu.config import IcpConfig, SlamConfig
+        from icpslam_tpu.geometry import se3
+        from icpslam_tpu.io import synthetic
+        from icpslam_tpu.mapping import backend as map_backend
+        from icpslam_tpu.mapping import scan_to_map
+
+        cfg = SlamConfig(
+            voxel_leaf_size=0.3,
+            map_resolution=0.3,
+            icp_mapping=IcpConfig(mode="plane", max_iterations=15),
+            max_points=512,
+            max_raw_points=512,
+            max_map_points=2048,
+        )
+        world = synthetic.make_room_world(seed=3, n_points=6000, size=10.0)
+        origin = se3.identity()
+        scan_pts = synthetic.render_scan(
+            world, np.zeros(3), np.array([0, 0, 0, 1.0]), n_points=500,
+            noise=0.005, seed=1,
+        )
+        scan = pc.from_points(scan_pts, capacity=512)
+        m = map_backend.empty(cfg)
+        r0 = scan_to_map.refine_and_grow(m, scan, origin, cfg)  # seed
+        assert int(r0.map.size) > 0
+        # same scan, slightly offset pose — refinement should pull it back
+        off = se3.Pose(
+            t=jnp.array([0.06, -0.04, 0.0]), q=se3.identity().q
+        )
+        r1 = jax.jit(
+            lambda mm, s, p: scan_to_map.refine_and_grow(mm, s, p, cfg),
+        )(r0.map, scan, off)
+        assert bool(r1.success)
+        # refined pose should be closer to identity than the raw offset
+        err_raw = float(jnp.linalg.norm(off.t))
+        err_ref = float(jnp.linalg.norm(r1.refined_pose.t))
+        assert err_ref < 0.5 * err_raw, (err_raw, err_ref)

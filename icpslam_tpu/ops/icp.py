@@ -37,8 +37,13 @@ from icpslam_tpu.geometry import quaternion as quat
 from icpslam_tpu.geometry import se3
 from icpslam_tpu.geometry.se3 import Pose
 from icpslam_tpu.ops import nn as nn_ops
-from icpslam_tpu.ops.kabsch import weighted_rigid_align
-from icpslam_tpu.ops.linalg3 import inv3, solve_psd
+from icpslam_tpu.ops.kabsch import weighted_rigid_align_comps
+from icpslam_tpu.ops.linalg3 import (
+    inv_sym3_comps,
+    rotate_sym3_comps,
+    solve_psd,
+    sym3_comps,
+)
 
 MIN_CORRESPONDENCES = 10
 
@@ -62,10 +67,11 @@ def _huber_weights(dist: jnp.ndarray, delta: float) -> jnp.ndarray:
 class _Carry(NamedTuple):
     pose: Pose
     it: jnp.ndarray
-    delta: jnp.ndarray  # norm of last update twist
-    idx: jnp.ndarray    # (N,) target index of each source point's match
-    d2: jnp.ndarray     # (N,) correspondence distances at the last-used pose
-    corr: jnp.ndarray   # (N,) bool correspondence validity at that pose
+    delta: jnp.ndarray    # norm of last update twist
+    idx: jnp.ndarray      # (N,) target index of each source point's match
+    matched: jnp.ndarray  # (N,) bool: the NN search found a valid target
+    d2: jnp.ndarray       # (N,) correspondence distances at the last-used pose
+    corr: jnp.ndarray     # (N,) bool correspondence validity at that pose
 
 
 def icp(
@@ -91,58 +97,118 @@ def icp(
 
     max_d2 = config.max_correspondence_distance**2
 
-    def correspondences(pose: Pose):
-        src_t = se3.transform_points(pose, source.points)
-        res = nn_ops.nearest_neighbors(src_t, target.points, target.mask, block=nn_block)
-        corr = source.mask & (res.dist2 <= max_d2)
-        return src_t, res.idx, res.dist2, corr
+    # Structure-of-arrays views: all inner-loop math runs on (N,) component
+    # arrays (full 128-lane VPU tiles). (N, 3) / (N, 3, 3) / (N, 3, 6)
+    # intermediates get their trailing dims tile-padded to (8, 128) on TPU
+    # — measured ~0.4 ms/iteration of pure padding traffic at N=8192
+    # before this layout (~6x of the NN sweep itself).
+    sx, sy, sz = source.points[:, 0], source.points[:, 1], source.points[:, 2]
+    tp3 = target.points.T  # (3, M): one-gather layout for matched points
+    if plane:
+        sc = sym3_comps(source_covs)              # 6 × (N,)
+        tc6 = jnp.stack(sym3_comps(target_covs))  # (6, M)
+
+    def transform_comps(pose: Pose):
+        R = quat.to_matrix(pose.q)
+        px = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + pose.t[0]
+        py = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + pose.t[1]
+        pz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + pose.t[2]
+        return R, px, py, pz
+
+    def fresh_nn(px, py, pz):
+        src_t = jnp.stack([px, py, pz], axis=-1)
+        res = nn_ops.nearest_neighbors(
+            src_t, target.points, target.mask, block=nn_block
+        )
+        return res.idx, jnp.isfinite(res.dist2)
+
+    def match_eval(idx, matched, px, py, pz):
+        """Residuals + validity of the matches at the current pose."""
+        d = tp3[:, idx]  # (3, N) gathered match coordinates
+        rx, ry, rz = px - d[0], py - d[1], pz - d[2]
+        d2 = rx * rx + ry * ry + rz * rz
+        corr = source.mask & matched & (d2 <= max_d2)
+        return (rx, ry, rz), d2, corr
 
     refresh = max(1, config.correspondence_refresh)
 
     def step(carry: _Carry) -> _Carry:
         pose = carry.pose
+        R, px, py, pz = transform_comps(pose)
         if refresh == 1:
-            src_t, idx, d2, corr = correspondences(pose)
+            idx, matched = fresh_nn(px, py, pz)
         else:
             # refresh the NN search only every `refresh` iterations; in
             # between, keep the matches and just re-evaluate them at the
-            # updated pose (the GN/Kabsch update is cheap — the NN sweep
-            # is the per-iteration cost)
-            def fresh(_):
-                return correspondences(pose)
-
-            def reuse(_):
-                src_t = se3.transform_points(pose, source.points)
-                d2 = jnp.sum((src_t - target.points[carry.idx]) ** 2, axis=-1)
-                corr = source.mask & (d2 <= max_d2)
-                return src_t, carry.idx, d2, corr
-
-            src_t, idx, d2, corr = jax.lax.cond(
-                carry.it % refresh == 0, fresh, reuse, operand=None
+            # updated pose. `matched` rides the carry so stale indices of
+            # never-matched queries can't sneak through the distance gate.
+            idx, matched = jax.lax.cond(
+                carry.it % refresh == 0,
+                lambda _: fresh_nn(px, py, pz),
+                lambda _: (carry.idx, carry.matched),
+                operand=None,
             )
+        (rx, ry, rz), d2, corr = match_eval(idx, matched, px, py, pz)
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-        w = _huber_weights(dist, config.huber_delta) * corr.astype(src_t.dtype)
-        dst = target.points[idx]
+        w = _huber_weights(dist, config.huber_delta) * corr.astype(px.dtype)
 
         if not plane:
-            delta_pose, ok = weighted_rigid_align(src_t, dst, w)
+            d = tp3[:, idx]
+            delta_pose, ok = weighted_rigid_align_comps(
+                px, py, pz, d[0], d[1], d[2], w
+            )
         else:
-            R = quat.to_matrix(pose.q)
-            # fused covariance: C_dst + R C_src Rᵀ, per correspondence
-            c_src_rot = jnp.einsum("ij,njk,lk->nil", R, source_covs, R)
-            fused = target_covs[idx] + c_src_rot
-            W = inv3(fused)  # (N, 3, 3) information weights
-            r = src_t - dst  # (N, 3)
-            # J_i = [I3 | -skew(src_t_i)]  (3, 6), left-perturbation
-            S = se3.skew(src_t)  # (N, 3, 3)
-            J = jnp.concatenate(
-                [jnp.broadcast_to(jnp.eye(3, dtype=src_t.dtype), S.shape), -S], axis=-1
-            )  # (N, 3, 6)
-            WJ = jnp.einsum("nij,njk->nik", W, J)  # (N, 3, 6)
-            wN = w[:, None, None]
-            H = jnp.einsum("nji,njk->ik", J * wN, WJ)  # (6, 6)
-            b = jnp.einsum("nji,njk,nk->i", J * wN, W, r)  # (6,)
-            delta = solve_psd(H, -b, damping=1e-6)
+            # fused covariance C = C_dst + R C_src Rᵀ, inverted in
+            # symmetric component form
+            ba, bb, bc, bd, be, bf = rotate_sym3_comps(R, sc)
+            tg = tc6[:, idx]  # (6, N) gathered target covariances
+            Wa, Wb, Wc, Wd, We, Wf = inv_sym3_comps(
+                tg[0] + ba, tg[1] + bb, tg[2] + bc,
+                tg[3] + bd, tg[4] + be, tg[5] + bf,
+            )
+            # u = W r (information-weighted residual)
+            ux = Wa * rx + Wb * ry + Wc * rz
+            uy = Wb * rx + Wd * ry + We * rz
+            uz = Wc * rx + We * ry + Wf * rz
+            # With J_i = [I | −skew(p_i)]: JᵀWJ = [[W, −M],[−Mᵀ, −skew(p)·M]]
+            # where M = W·skew(p); b_i = JᵀW r = [u; p×u].
+            m00 = Wb * pz - Wc * py
+            m01 = Wc * px - Wa * pz
+            m02 = Wa * py - Wb * px
+            m10 = Wd * pz - We * py
+            m11 = We * px - Wb * pz
+            m12 = Wb * py - Wd * px
+            m20 = We * pz - Wf * py
+            m21 = Wf * px - Wc * pz
+            m22 = Wc * py - We * px
+            br00 = pz * m10 - py * m20
+            br01 = pz * m11 - py * m21
+            br02 = pz * m12 - py * m22
+            br11 = px * m21 - pz * m01
+            br12 = px * m22 - pz * m02
+            br22 = py * m02 - px * m12
+            cx = py * uz - pz * uy
+            cy = pz * ux - px * uz
+            cz = px * uy - py * ux
+            # one fused weighted-reduction pass over all 27 accumulators
+            terms = jnp.stack(
+                [Wa, Wb, Wc, Wd, We, Wf,
+                 m00, m01, m02, m10, m11, m12, m20, m21, m22,
+                 br00, br01, br02, br11, br12, br22,
+                 ux, uy, uz, cx, cy, cz]
+            )
+            s = jnp.sum(terms * w, axis=1)
+            H = jnp.stack(
+                [
+                    jnp.stack([s[0], s[1], s[2], -s[6], -s[7], -s[8]]),
+                    jnp.stack([s[1], s[3], s[4], -s[9], -s[10], -s[11]]),
+                    jnp.stack([s[2], s[4], s[5], -s[12], -s[13], -s[14]]),
+                    jnp.stack([-s[6], -s[9], -s[12], s[15], s[16], s[17]]),
+                    jnp.stack([-s[7], -s[10], -s[13], s[16], s[18], s[19]]),
+                    jnp.stack([-s[8], -s[11], -s[14], s[17], s[19], s[20]]),
+                ]
+            )
+            delta = solve_psd(H, -s[21:27], damping=1e-6)
             ok = jnp.sum(corr) >= MIN_CORRESPONDENCES
             delta = jnp.where(ok, delta, 0.0)
             delta_pose = se3.se3_exp(delta)
@@ -150,7 +216,8 @@ def icp(
         new_pose = se3.normalize(se3.compose(delta_pose, pose))
         dnorm = jnp.linalg.norm(se3.se3_log(delta_pose))
         return _Carry(
-            pose=new_pose, it=carry.it + 1, delta=dnorm, idx=idx, d2=d2, corr=corr
+            pose=new_pose, it=carry.it + 1, delta=dnorm,
+            idx=idx, matched=matched, d2=d2, corr=corr,
         )
 
     def cond(carry: _Carry):
@@ -169,6 +236,7 @@ def icp(
         it=jnp.zeros((), jnp.int32),
         delta=jnp.asarray(jnp.inf, source.points.dtype),
         idx=jnp.zeros((n_src,), jnp.int32),
+        matched=jnp.zeros((n_src,), bool),
         d2=jnp.full((n_src,), jnp.inf, source.points.dtype),
         corr=jnp.zeros((n_src,), bool),
     )
@@ -177,7 +245,9 @@ def icp(
     if config.exact_fitness:
         # Extra correspondence pass at the final pose (exact PCL
         # getFitnessScore semantics) — costs one more NN sweep.
-        _, _, d2, corr = correspondences(final.pose)
+        _, px, py, pz = transform_comps(final.pose)
+        idx, matched = fresh_nn(px, py, pz)
+        _, d2, corr = match_eval(idx, matched, px, py, pz)
     else:
         # Reuse the correspondences from the last executed iteration:
         # fitness is evaluated one Gauss-Newton step stale, which is far

@@ -228,6 +228,48 @@ class TestLinalg3:
         expect = np.linalg.eigvalsh(A)
         np.testing.assert_allclose(got, expect, atol=1e-3, rtol=1e-3)
 
+    def test_inv_sym3_comps_matches_inv3(self):
+        from icpslam_tpu.ops.linalg3 import inv3, inv_sym3_comps, sym3_comps
+        rng = np.random.RandomState(1)
+        A = rng.randn(128, 3, 3).astype(np.float32)
+        A = A @ A.transpose(0, 2, 1) + 0.1 * np.eye(3)  # SPD
+        Aj = jnp.asarray(A)
+        a, b, c, d, e, f = inv_sym3_comps(*sym3_comps(Aj))
+        got = np.stack(
+            [np.stack([a, b, c], -1), np.stack([b, d, e], -1),
+             np.stack([c, e, f], -1)], axis=-2)
+        np.testing.assert_allclose(got, np.asarray(inv3(Aj)), rtol=2e-4, atol=2e-4)
+
+    def test_rotate_sym3_comps_matches_einsum(self):
+        from icpslam_tpu.geometry import quaternion as quat
+        from icpslam_tpu.ops.linalg3 import rotate_sym3_comps, sym3_comps
+        rng = np.random.RandomState(2)
+        C = rng.randn(64, 3, 3).astype(np.float32)
+        C = C @ C.transpose(0, 2, 1)
+        q = quat.normalize(jnp.asarray(rng.randn(4), jnp.float32))
+        R = quat.to_matrix(q)
+        expect = np.einsum("ij,njk,lk->nil", np.asarray(R), C, np.asarray(R))
+        a, b, c, d, e, f = rotate_sym3_comps(R, sym3_comps(jnp.asarray(C)))
+        got = np.stack(
+            [np.stack([a, b, c], -1), np.stack([b, d, e], -1),
+             np.stack([c, e, f], -1)], axis=-2)
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+    def test_kabsch_comps_matches_array_form(self):
+        from icpslam_tpu.ops.kabsch import (
+            weighted_rigid_align, weighted_rigid_align_comps)
+        rng = np.random.RandomState(3)
+        src = jnp.asarray(rng.randn(200, 3), jnp.float32)
+        dst = jnp.asarray(rng.randn(200, 3), jnp.float32)
+        w = jnp.asarray(rng.rand(200), jnp.float32)
+        p1, ok1 = weighted_rigid_align(src, dst, w)
+        p2, ok2 = weighted_rigid_align_comps(
+            src[:, 0], src[:, 1], src[:, 2],
+            dst[:, 0], dst[:, 1], dst[:, 2], w)
+        assert bool(ok1) == bool(ok2)
+        np.testing.assert_allclose(np.asarray(p1.t), np.asarray(p2.t), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p1.q), np.asarray(p2.q), atol=1e-5)
+
 
 class TestRadiusCovariance:
     def test_moments_match_bruteforce(self):

@@ -38,9 +38,10 @@ def insert(
     resolution: float,
     covs: jnp.ndarray | None = None,
 ) -> MapState:
-    """``covs``: optional (N, 3, 3) map-frame surface covariances stored
-    with the points (point backend only; the voxel backend ignores them —
-    its plane-mode queries recompute covariances from the NN cloud)."""
+    """``covs``: optional packed (6, N) map-frame surface covariances
+    (``linalg3.mat_to_sym6`` layout) stored with the points (point backend
+    only; the voxel backend ignores them — its plane-mode queries
+    recompute covariances from the NN cloud)."""
     if isinstance(map_, pm.PointMap):
         return pm.insert(map_, cloud, resolution, covs=covs)
     return vm.insert(map_, cloud, resolution)
@@ -85,8 +86,8 @@ def query_nn_with_covs(
 ):
     """NN query returning stored covariances when the backend carries them.
 
-    Returns ``(MapNNResult, covs_or_None)`` — ``covs`` is (Q, 3, 3) in the
-    *map* frame for the point backend, ``None`` for the voxel backend
+    Returns ``(MapNNResult, covs_or_None)`` — ``covs`` is packed (6, Q) in
+    the *map* frame for the point backend, ``None`` for the voxel backend
     (whose callers recompute from the NN cloud).
     """
     if isinstance(map_, pm.PointMap):

@@ -14,7 +14,7 @@ backend drops it entirely:
 - per-scan self-dedup still uses the voxel downsample (one centroid per
   voxel), so a single insert cannot flood a region
 - each map point optionally carries its **GICP surface covariance**
-  (packed symmetric 3×3, map frame), stored at insert time from the scan
+  (packed symmetric components, map frame), stored at insert time from the scan
   whose neighborhood already computed it — so scan-to-map plane ICP
   *gathers* target covariances with the NN result instead of re-running
   a neighborhood pass over the NN cloud every scan (the reference
@@ -38,15 +38,13 @@ from icpslam_tpu.cloud.pointcloud import PointCloud
 from icpslam_tpu.cloud.voxel import voxel_downsample
 from icpslam_tpu.mapping.voxel_map import MapNNResult
 from icpslam_tpu.ops import nn as nn_ops
-from icpslam_tpu.ops.linalg3 import pack_sym3, unpack_sym3
-
-# packed identity covariance [xx, yy, zz, xy, xz, yz]
-_EYE6 = (1.0, 1.0, 1.0, 0.0, 0.0, 0.0)
+from icpslam_tpu.ops.covariance import EYE6 as _EYE6
 
 
 class PointMap(NamedTuple):
     points: jnp.ndarray    # (C, 3)
-    covs: jnp.ndarray      # (C, 6) packed symmetric GICP covariance (map frame)
+    covs: jnp.ndarray      # (6, C) packed GICP covariances, map frame
+                           # (linalg3.mat_to_sym6 component order)
     size: jnp.ndarray      # int32 live points
     overflow: jnp.ndarray  # int32 points dropped at capacity
 
@@ -64,7 +62,7 @@ class PointMap(NamedTuple):
 def empty_map(capacity: int, dtype=jnp.float32) -> PointMap:
     return PointMap(
         points=jnp.zeros((capacity, 3), dtype),
-        covs=jnp.broadcast_to(jnp.asarray(_EYE6, dtype), (capacity, 6)),
+        covs=jnp.broadcast_to(jnp.asarray(_EYE6, dtype)[:, None], (6, capacity)),
         size=jnp.asarray(0, jnp.int32),
         overflow=jnp.asarray(0, jnp.int32),
     )
@@ -87,11 +85,11 @@ def _append(
     out_points = pmap.points.at[pos].set(points, mode="drop")
     if covs is None:
         packed = jnp.broadcast_to(
-            jnp.asarray(_EYE6, pmap.covs.dtype), (points.shape[0], 6)
+            jnp.asarray(_EYE6, pmap.covs.dtype)[:, None], (6, points.shape[0])
         )
     else:
-        packed = pack_sym3(covs) if covs.ndim == 3 else covs
-    out_covs = pmap.covs.at[pos].set(packed, mode="drop")
+        packed = covs  # (6, N) components-first
+    out_covs = pmap.covs.at[:, pos].set(packed, mode="drop")
     n_new = jnp.sum(new.astype(jnp.int32))
     total = pmap.size + n_new
     return PointMap(
@@ -110,8 +108,8 @@ def insert(
 ) -> PointMap:
     """Distance-gated append of a (map-frame) cloud.
 
-    ``covs``: optional (N, 3, 3) map-frame surface covariances stored with
-    the inserted points (identity when omitted). Note the voxel
+    ``covs``: optional packed (6, N) map-frame surface covariances stored
+    with the inserted points (identity when omitted). Note the voxel
     downsample inside reorders points, so ``covs`` given here must match
     the *downsampled* order — callers with per-point covariances should
     pre-downsample and use ``insert_with_nn`` instead.
@@ -146,7 +144,7 @@ def insert_with_nn(
     be self-deduplicated (one point per ``resolution`` cell — true for
     voxel-filtered scans with leaf ≥ resolution).
 
-    ``covs``: optional (N, 3, 3) map-frame covariances, aligned with
+    ``covs``: optional packed (6, N) map-frame covariances, aligned with
     ``cloud`` (identity when omitted).
     """
     far = ~(nn_dist2 < resolution * resolution)  # True also when dist2=inf
@@ -168,14 +166,13 @@ def exact_nn_with_covs(
 ) -> Tuple[MapNNResult, jnp.ndarray]:
     """Exact NN plus the stored (map-frame) covariance of each winner.
 
-    Returns ``(MapNNResult, covs (Q, 3, 3))`` — identity covariance where
-    nothing was found.
+    Returns ``(MapNNResult, covs packed (6, Q))`` — identity covariance
+    where nothing was found.
     """
     res, idx = _exact_nn_idx(pmap, points, mask)
-    packed = pmap.covs[idx]  # (Q, 6)
+    packed = pmap.covs[:, idx]  # (6, Q)
     eye6 = jnp.asarray(_EYE6, pmap.covs.dtype)
-    packed = jnp.where(res.found[:, None], packed, eye6)
-    return res, unpack_sym3(packed)
+    return res, jnp.where(res.found[None, :], packed, eye6[:, None])
 
 
 def _exact_nn_idx(

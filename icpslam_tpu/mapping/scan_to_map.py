@@ -41,6 +41,7 @@ from icpslam_tpu.geometry.se3 import Pose
 from icpslam_tpu.mapping import backend as map_backend
 from icpslam_tpu.mapping import point_map as pm
 from icpslam_tpu.ops import icp as icp_ops
+from icpslam_tpu.ops.linalg3 import rotate_sym3_comps
 
 
 class RefineResult(NamedTuple):
@@ -52,9 +53,9 @@ class RefineResult(NamedTuple):
     map: map_backend.MapState  # grown (or seeded) map
 
 
-def _rotate_covs(covs: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
-    """R C Rᵀ for a batch of 3×3 covariances."""
-    return jnp.einsum("ij,njk,lk->nil", R, covs, R)
+def _rotate_covs(covs6: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """R C Rᵀ for packed (6, N) covariances (component form, full-lane VPU)."""
+    return jnp.stack(rotate_sym3_comps(R, tuple(covs6[i] for i in range(6))))
 
 
 def refine_and_grow(
@@ -70,7 +71,8 @@ def refine_and_grow(
     front-end's ``filtered`` output), matching the reference feeding the
     odometer's cloud into the mapper (``icpslam.cpp:130-135``).
     ``scan_covs`` lets callers reuse GICP covariances the front-end
-    already computed for the same cloud (same knn/epsilon required).
+    already computed for the same cloud (same knn/epsilon required) —
+    packed (6, N), ``linalg3.mat_to_sym6`` layout.
     """
     icfg = config.icp_mapping
     res_m = config.map_resolution

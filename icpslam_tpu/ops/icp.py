@@ -41,8 +41,7 @@ from icpslam_tpu.ops.kabsch import weighted_rigid_align_comps
 from icpslam_tpu.ops.linalg3 import (
     inv_sym3_comps,
     rotate_sym3_comps,
-    solve_psd,
-    sym3_comps,
+    solve_chol_unrolled,
 )
 
 MIN_CORRESPONDENCES = 10
@@ -87,7 +86,9 @@ def icp(
 
     For ``config.mode == 'plane'`` the per-point covariances must be
     precomputed with ``ops.covariance.gicp_covariances`` (they depend only
-    on each cloud, so callers cache them per scan).
+    on each cloud, so callers cache them per scan), in the canonical
+    components-first packing: ``source_covs`` (6, N) / ``target_covs``
+    (6, M) as ``[xx, xy, xz, yy, yz, zz]`` (``linalg3.mat_to_sym6``).
     """
     if init is None:
         init = se3.identity(dtype=source.points.dtype)
@@ -105,8 +106,8 @@ def icp(
     sx, sy, sz = source.points[:, 0], source.points[:, 1], source.points[:, 2]
     tp3 = target.points.T  # (3, M): one-gather layout for matched points
     if plane:
-        sc = sym3_comps(source_covs)              # 6 × (N,)
-        tc6 = jnp.stack(sym3_comps(target_covs))  # (6, M)
+        sc = tuple(source_covs[i] for i in range(6))  # 6 × (N,)
+        tc6 = target_covs                             # (6, M)
 
     def transform_comps(pose: Pose):
         R = quat.to_matrix(pose.q)
@@ -208,13 +209,17 @@ def icp(
                     jnp.stack([-s[8], -s[11], -s[14], s[17], s[19], s[20]]),
                 ]
             )
-            delta = solve_psd(H, -s[21:27], damping=1e-6)
+            delta = solve_chol_unrolled(H, -s[21:27], damping=1e-6)
             ok = jnp.sum(corr) >= MIN_CORRESPONDENCES
             delta = jnp.where(ok, delta, 0.0)
             delta_pose = se3.se3_exp(delta)
 
         new_pose = se3.normalize(se3.compose(delta_pose, pose))
-        dnorm = jnp.linalg.norm(se3.se3_log(delta_pose))
+        if plane:
+            # the GN twist *is* the log of the update — skip the se3_log
+            dnorm = jnp.linalg.norm(delta)
+        else:
+            dnorm = jnp.linalg.norm(se3.se3_log(delta_pose))
         return _Carry(
             pose=new_pose, it=carry.it + 1, delta=dnorm,
             idx=idx, matched=matched, d2=d2, corr=corr,

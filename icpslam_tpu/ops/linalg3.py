@@ -59,6 +59,50 @@ def solve_psd(H: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> jnp.ndarr
     return jnp.linalg.solve(H, b[..., None])[..., 0]
 
 
+def solve_chol_unrolled(
+    H: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0
+) -> jnp.ndarray:
+    """Solve ``(H + damping·diag(H)) x = b`` for one small SPD system via a
+    fully unrolled Cholesky (n fixed at trace time, e.g. the 6×6 GN normal
+    equations inside the ICP loop).
+
+    ``jnp.linalg.solve`` lowers a single tiny system to a general LU
+    kernel — scalar-sequential and disproportionately expensive inside a
+    ``while_loop`` body. Unrolling emits ~n³/3 fused scalar FLOPs instead.
+    Same Tikhonov/damping conditioning as :func:`solve_psd`.
+    """
+    n = H.shape[-1]
+    diag = jnp.diagonal(H)
+    d = damping * diag + 1e-9 if damping else jnp.full((n,), 1e-9, H.dtype)
+    A = [[H[i, j] + (d[i] if i == j else 0.0) for j in range(n)] for i in range(n)]
+    # Cholesky A = L Lᵀ (scalar unroll; guarded sqrt for robustness)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution Lᵀ x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def symmetrize(m: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (m + jnp.swapaxes(m, -1, -2))
 
@@ -70,8 +114,13 @@ def eigvals_sym3(A: jnp.ndarray) -> jnp.ndarray:
     magnitude faster than LAPACK-style ``eigh`` for large batches of tiny
     matrices (the GICP covariance path runs this on every point).
     """
-    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    lo, mid, hi = eigvals_sym3_comps(*sym3_comps(A))
+    return jnp.stack([lo, mid, hi], axis=-1)
+
+
+def eigvals_sym3_comps(a00, a01, a02, a11, a12, a22):
+    """Component-form :func:`eigvals_sym3`: six (...,) arrays in, three
+    (...,) eigenvalue arrays out (ascending)."""
     p1 = a01 * a01 + a02 * a02 + a12 * a12
     q = (a00 + a11 + a22) / 3.0
     d0, d1, d2 = a00 - q, a11 - q, a22 - q
@@ -97,7 +146,7 @@ def eigvals_sym3(A: jnp.ndarray) -> jnp.ndarray:
     e_lo = jnp.where(small, q, e_lo)
     e_mid = jnp.where(small, q, e_mid)
     e_hi = jnp.where(small, q, e_hi)
-    return jnp.stack([e_lo, e_mid, e_hi], axis=-1)
+    return e_lo, e_mid, e_hi
 
 
 def smallest_eigenvector_sym3(
@@ -110,21 +159,46 @@ def smallest_eigenvector_sym3(
     no well-defined direction; those fall back to ``fallback`` — harmless
     for GICP, where an isotropic patch carries no plane constraint anyway.
     """
-    lam = eigvals_sym3(A)[..., 0]
-    M = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
-    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
-    c01 = jnp.cross(r0, r1)
-    c02 = jnp.cross(r0, r2)
-    c12 = jnp.cross(r1, r2)
-    cands = jnp.stack([c01, c02, c12], axis=-2)  # (..., 3, 3)
-    norms = jnp.linalg.norm(cands, axis=-1)
-    best = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    ok = n[..., 0] > 1e-10
-    fb = jnp.asarray(fallback, dtype=A.dtype)
-    v = jnp.where(ok[..., None], v / jnp.where(ok[..., None], n, 1.0), fb)
-    return v
+    vx, vy, vz = smallest_eigenvector_sym3_comps(*sym3_comps(A), fallback=fallback)
+    return jnp.stack([vx, vy, vz], axis=-1)
+
+
+def smallest_eigenvector_sym3_comps(
+    a, b, c, d, e, f, fallback: tuple = (0.0, 0.0, 1.0)
+):
+    """Component-form :func:`smallest_eigenvector_sym3` (see layout note on
+    :func:`inv_sym3_comps`): six symmetric components in, three unit-vector
+    components out."""
+    lam = eigvals_sym3_comps(a, b, c, d, e, f)[0]
+    # rows of A − λ_min I
+    r0 = (a - lam, b, c)
+    r1 = (b, d - lam, e)
+    r2 = (c, e, f - lam)
+
+    def cross(u, v):
+        return (
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        )
+
+    c01, c02, c12 = cross(r0, r1), cross(r0, r2), cross(r1, r2)
+    n01 = c01[0] ** 2 + c01[1] ** 2 + c01[2] ** 2
+    n02 = c02[0] ** 2 + c02[1] ** 2 + c02[2] ** 2
+    n12 = c12[0] ** 2 + c12[1] ** 2 + c12[2] ** 2
+    use01 = (n01 >= n02) & (n01 >= n12)
+    use02 = ~use01 & (n02 >= n12)
+    v = tuple(
+        jnp.where(use01, x01, jnp.where(use02, x02, x12))
+        for x01, x02, x12 in zip(c01, c02, c12)
+    )
+    n2 = jnp.where(use01, n01, jnp.where(use02, n02, n12))
+    n = jnp.sqrt(n2)
+    ok = n > 1e-10
+    inv_n = jnp.where(ok, 1.0 / jnp.where(ok, n, 1.0), 0.0)
+    return tuple(
+        jnp.where(ok, vi * inv_n, fb) for vi, fb in zip(v, fallback)
+    )
 
 
 def inv_sym3_comps(a, b, c, d, e, f, eps: float = 1e-12):
@@ -181,17 +255,35 @@ def sym3_comps(A: jnp.ndarray):
 
 
 def pack_sym3(A: jnp.ndarray) -> jnp.ndarray:
-    """Pack symmetric (..., 3, 3) into (..., 6) as [xx, yy, zz, xy, xz, yz]."""
-    return jnp.stack(
-        [A[..., 0, 0], A[..., 1, 1], A[..., 2, 2],
-         A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]],
-        axis=-1,
-    )
+    """Pack symmetric (..., 3, 3) into (..., 6) as [xx, xy, xz, yy, yz, zz]
+    (the canonical component order of :func:`sym3_comps`)."""
+    return jnp.stack(sym3_comps(A), axis=-1)
 
 
 def unpack_sym3(p: jnp.ndarray) -> jnp.ndarray:
     """Inverse of ``pack_sym3``: (..., 6) → symmetric (..., 3, 3)."""
-    xx, yy, zz, xy, xz, yz = (p[..., i] for i in range(6))
+    xx, xy, xz, yy, yz, zz = (p[..., i] for i in range(6))
+    row0 = jnp.stack([xx, xy, xz], axis=-1)
+    row1 = jnp.stack([xy, yy, yz], axis=-1)
+    row2 = jnp.stack([xz, yz, zz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def mat_to_sym6(A: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric (..., 3, 3) → components-first (6, ...) packed array.
+
+    ``(6, N)`` is the canonical covariance layout of the registration
+    path: the batch axis lands on the 128-wide TPU lanes, so every
+    per-point op runs on full tiles (an ``(N, 3, 3)`` array pads its
+    trailing dims to (8, 128) — ~43x the HBM traffic).
+    Component order: [xx, xy, xz, yy, yz, zz].
+    """
+    return jnp.stack(sym3_comps(A))
+
+
+def sym6_to_mat(c: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`mat_to_sym6`: (6, ...) → symmetric (..., 3, 3)."""
+    xx, xy, xz, yy, yz, zz = c
     row0 = jnp.stack([xx, xy, xz], axis=-1)
     row1 = jnp.stack([xy, yy, yz], axis=-1)
     row2 = jnp.stack([xz, yz, zz], axis=-1)

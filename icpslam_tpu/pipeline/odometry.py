@@ -52,7 +52,7 @@ class OdometryState(NamedTuple):
     pose: Pose                 # accumulated odometry pose (odom frame)
     accum: Pose                # relative-transform accumulator (drained by back-end)
     prev_cloud: pc.PointCloud  # last processed (filtered) cloud
-    prev_covs: jnp.ndarray     # (N, 3, 3) GICP covariances of prev_cloud
+    prev_covs: jnp.ndarray     # (6, N) packed GICP covariances of prev_cloud
     last_transform: Pose       # last accepted relative motion (constant-velocity prior)
     skip_count: jnp.ndarray    # int32 remaining clouds to skip
     scan_count: jnp.ndarray    # int32 total scans seen
@@ -68,8 +68,9 @@ class OdometryOutput(NamedTuple):
     iterations: jnp.ndarray
     num_voxels: jnp.ndarray    # occupied voxels before capacity clipping
     filtered: pc.PointCloud    # the downsampled scan (consumed by mapping)
-    filtered_covs: jnp.ndarray  # (N,3,3) GICP covariances of `filtered`
-                               # (meaningful only in plane mode; identity
+    filtered_covs: jnp.ndarray  # (6, N) packed GICP covariances of
+                               # `filtered` (linalg3.mat_to_sym6 layout;
+                               # meaningful only in plane mode — identity
                                # placeholders otherwise)
 
 
@@ -82,7 +83,9 @@ def init_state(config: SlamConfig, initial_pose: Pose | None = None) -> Odometry
         pose=initial_pose,
         accum=se3.identity(),
         prev_cloud=pc.empty(n),
-        prev_covs=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3)),
+        prev_covs=jnp.broadcast_to(
+            jnp.asarray(cov_ops.EYE6, jnp.float32)[:, None], (6, n)
+        ),
         last_transform=se3.identity(),
         skip_count=jnp.asarray(0, jnp.int32),
         scan_count=jnp.asarray(0, jnp.int32),

@@ -94,8 +94,13 @@ def rerender_map(state, config: SlamConfig):
             mask=cloud.mask,
         )
         if with_covs:
+            from icpslam_tpu.ops.linalg3 import rotate_sym3_comps
+
             R = quat.to_matrix(pose.q)
-            covs_w = jnp.einsum("ij,njk,lk->nil", R, cov_fn(cloud), R)
+            c6 = cov_fn(cloud)
+            covs_w = jnp.stack(
+                rotate_sym3_comps(R, tuple(c6[i] for i in range(6)))
+            )
             nn = pm.exact_nn(m, world.points, world.mask)
             m = pm.insert_with_nn(
                 m, world, config.map_resolution, nn.dist2, covs=covs_w

@@ -171,6 +171,7 @@ class TestStoredCovariances:
     def test_insert_and_gather_roundtrip(self):
         import jax.numpy as jnp
         from icpslam_tpu.mapping import point_map as pm
+        from icpslam_tpu.ops.linalg3 import mat_to_sym6, sym6_to_mat
 
         rng = np.random.RandomState(0)
         pts = rng.randn(8, 3).astype(np.float32) * 5
@@ -183,18 +184,20 @@ class TestStoredCovariances:
             pc.from_points(pts, capacity=8),
             0.1,
             jnp.full((8,), jnp.inf, jnp.float32),
-            covs=jnp.asarray(covs),
+            covs=mat_to_sym6(jnp.asarray(covs)),
         )
         assert int(m.size) == 8
         res, got = pm.exact_nn_with_covs(
             m, jnp.asarray(pts), jnp.ones(8, bool)
         )
         assert bool(np.all(np.asarray(res.found)))
-        np.testing.assert_allclose(np.asarray(got), covs, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sym6_to_mat(got)), covs, atol=1e-6)
 
     def test_unfound_gets_identity(self):
         import jax.numpy as jnp
         from icpslam_tpu.mapping import point_map as pm
+
+        from icpslam_tpu.ops.linalg3 import sym6_to_mat
 
         m = pm.empty_map(16)  # empty → nothing found
         res, got = pm.exact_nn_with_covs(
@@ -202,7 +205,8 @@ class TestStoredCovariances:
         )
         assert not bool(np.any(np.asarray(res.found)))
         np.testing.assert_allclose(
-            np.asarray(got), np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-6
+            np.asarray(sym6_to_mat(got)),
+            np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-6,
         )
 
     def test_refine_uses_stored_covs_and_matches_recompute_quality(self):

@@ -13,6 +13,7 @@ from icpslam_tpu.geometry import se3
 from icpslam_tpu.geometry.se3 import Pose
 from icpslam_tpu.ops import covariance, icp as icp_mod, nn as nn_ops
 from icpslam_tpu.ops.kabsch import weighted_rigid_align
+from icpslam_tpu.ops.linalg3 import sym6_to_mat
 
 
 def random_pose(seed, t_scale=1.0, angle=0.3):
@@ -104,7 +105,7 @@ class TestCovariance:
         rng = np.random.RandomState(6)
         pts = np.c_[rng.uniform(-1, 1, (128, 2)), np.zeros(128)].astype(np.float32)
         cloud = pc.from_points(pts, capacity=128)
-        covs = covariance.gicp_covariances(cloud, k=8, epsilon=1e-3)
+        covs = sym6_to_mat(covariance.gicp_covariances(cloud, k=8, epsilon=1e-3))
         vals, vecs = np.linalg.eigh(np.asarray(covs))
         np.testing.assert_allclose(vals[:, 0], 1e-3, atol=1e-4)
         np.testing.assert_allclose(vals[:, 1:], 1.0, atol=1e-4)
@@ -115,7 +116,7 @@ class TestCovariance:
     def test_padding_gets_identity(self):
         pts = np.random.RandomState(7).randn(10, 3).astype(np.float32)
         cloud = pc.from_points(pts, capacity=16)
-        covs = np.asarray(covariance.gicp_covariances(cloud, k=4))
+        covs = np.asarray(sym6_to_mat(covariance.gicp_covariances(cloud, k=4)))
         np.testing.assert_allclose(covs[10:], np.broadcast_to(np.eye(3), (6, 3, 3)))
 
 
@@ -305,7 +306,7 @@ class TestRadiusCovariance:
         rng = np.random.RandomState(2)
         plane = np.c_[rng.uniform(-1, 1, (256, 2)), np.zeros(256)].astype(np.float32)
         cloud = pc.from_points(plane, capacity=256)
-        covs = covariance.gicp_covariances_radius(cloud, radius=0.4)
+        covs = sym6_to_mat(covariance.gicp_covariances_radius(cloud, radius=0.4))
         vals, vecs = np.linalg.eigh(np.asarray(covs))
         np.testing.assert_allclose(np.abs(vecs[:, 2, 0]), 1.0, atol=1e-2)
 
@@ -350,7 +351,8 @@ class TestRadiusCovariance:
             rng.uniform(-1, 1, (256, 2)), rng.normal(0, 0.005, 256)
         ].astype(np.float32)
         cloud = pc.from_points(plane, capacity=256)
-        covs = covariance.gicp_covariances_radius(cloud, radius=0.4, sigma=0.2)
+        covs = sym6_to_mat(
+            covariance.gicp_covariances_radius(cloud, radius=0.4, sigma=0.2))
         vals, vecs = np.linalg.eigh(np.asarray(covs))
         np.testing.assert_allclose(np.abs(vecs[:, 2, 0]), 1.0, atol=5e-2)
 
@@ -358,5 +360,6 @@ class TestRadiusCovariance:
         # isolated points (< 3 neighbors in radius) get identity covariance
         pts = np.array([[0, 0, 0], [10, 0, 0], [20, 0, 0]], np.float32)
         cloud = pc.from_points(pts, capacity=4)
-        covs = np.asarray(covariance.gicp_covariances_radius(cloud, radius=0.5))
+        covs = np.asarray(
+            sym6_to_mat(covariance.gicp_covariances_radius(cloud, radius=0.5)))
         np.testing.assert_allclose(covs[:3], np.broadcast_to(np.eye(3), (3, 3, 3)))

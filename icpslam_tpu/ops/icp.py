@@ -81,6 +81,7 @@ def icp(
     source_covs: Optional[jnp.ndarray] = None,
     target_covs: Optional[jnp.ndarray] = None,
     nn_block: int = 1024,
+    target_valid_len: Optional[jnp.ndarray] = None,
 ) -> IcpResult:
     """Register ``source`` onto ``target``; returns target-frame pose of source.
 
@@ -89,6 +90,11 @@ def icp(
     on each cloud, so callers cache them per scan), in the canonical
     components-first packing: ``source_covs`` (6, N) / ``target_covs``
     (6, M) as ``[xx, xy, xz, yy, yz, zz]`` (``linalg3.mat_to_sym6``).
+
+    ``target_valid_len``: traced scalar — pass ONLY when the target cloud
+    is prefix-packed (all valid points before all padding, e.g. any
+    ``voxel_downsample`` output): the fused NN kernel then skips the dead
+    capacity tiles, so each sweep costs fill, not capacity.
     """
     if init is None:
         init = se3.identity(dtype=source.points.dtype)
@@ -119,7 +125,8 @@ def icp(
     def fresh_nn(px, py, pz):
         src_t = jnp.stack([px, py, pz], axis=-1)
         res = nn_ops.nearest_neighbors(
-            src_t, target.points, target.mask, block=nn_block
+            src_t, target.points, target.mask, block=nn_block,
+            valid_len=target_valid_len,
         )
         return res.idx, jnp.isfinite(res.dist2)
 

@@ -211,8 +211,11 @@ _MASK_SENTINEL = 1e30
 _INIT_F32 = 3e38
 
 
-def _nn3_kernel(vl_ref, qT_ref, tT_ref, jwin_ref, pk_ref, *, bt: int, ib: int):
-    """Grid step (i, j): query tile i vs target tile j, d² on the VPU.
+def _nn3_kernel(
+    vl_ref, qT_ref, tT_ref, jwin_ref, pk_ref, *, bt: int, ib: int,
+    mt: int, nt: int,
+):
+    """Grid step (i, j): query tile i vs target tile jj, d² on the VPU.
 
     The matmul formulation ``|t|² − 2t·q + |q|²`` needs either full-f32
     MXU passes (6x, and the 8-deep contraction runs the MXU at ~6%
@@ -223,8 +226,21 @@ def _nn3_kernel(vl_ref, qT_ref, tT_ref, jwin_ref, pk_ref, *, bt: int, ib: int):
     ((1, BT) → (BT, 1) relayout — negligible next to the (BT, BQ) work).
     Row 3 of the target tile carries the mask penalty (0 live, big dead).
     Reduction is the packed min/argmin of the v2 kernel.
+
+    Two pruning mechanisms exploit that scan clouds come out of the voxel
+    filter sorted by packed voxel key (spatially-coherent x-slabs):
+    - **matched start**: the j sweep visits target tiles rotated so the
+      spatially-matching slab comes first (``jj = (j + i·mt/nt) % mt``),
+      establishing a tight running best immediately;
+    - **AABB skip**: a tile is skipped when the axis-aligned bounding-box
+      distance between the query block and the target tile already
+      exceeds the block's worst current best — provably no query can
+      improve there, so skipping never changes the result (up to which of
+      two within-quantization-tie neighbors wins).
     """
+    i = pl.program_id(0)
     j = pl.program_id(1)
+    jj = jax.lax.rem(j + (i * mt) // nt, mt)
     mask = (1 << ib) - 1
     init = int(np.float32(_INIT_F32).view(np.int32)) & ~mask
 
@@ -233,28 +249,52 @@ def _nn3_kernel(vl_ref, qT_ref, tT_ref, jwin_ref, pk_ref, *, bt: int, ib: int):
         pk_ref[:, :] = jnp.full_like(pk_ref, init)
         jwin_ref[:, :] = jnp.zeros_like(jwin_ref)
 
-    @pl.when(j * bt < vl_ref[0])
+    @pl.when(jj * bt < vl_ref[0])
     def _():
-        t0 = tT_ref[0, :][:, None]  # (BT, 1)
-        t1 = tT_ref[1, :][:, None]
-        t2 = tT_ref[2, :][:, None]
-        pen = tT_ref[3, :][:, None]
-        q0 = qT_ref[0:1, :]  # (1, BQ)
-        q1 = qT_ref[1:2, :]
-        q2 = qT_ref[2:3, :]
-        e0 = t0 - q0
-        e1 = t1 - q1
-        e2 = t2 - q2
-        d2 = e0 * e0 + e1 * e1 + e2 * e2 + pen  # (BT, BQ), exact f32
+        # block-level AABB lower bound vs the worst current best: packed
+        # keys are order-isomorphic to d², so the lane-max of pk IS the
+        # (quantized) worst best. Padding coords sit far away (targets) or
+        # at −center (queries) and only make the bound more conservative.
+        tlo0 = jnp.min(tT_ref[0, :]); thi0 = jnp.max(tT_ref[0, :])
+        tlo1 = jnp.min(tT_ref[1, :]); thi1 = jnp.max(tT_ref[1, :])
+        tlo2 = jnp.min(tT_ref[2, :]); thi2 = jnp.max(tT_ref[2, :])
+        qlo0 = jnp.min(qT_ref[0, :]); qhi0 = jnp.max(qT_ref[0, :])
+        qlo1 = jnp.min(qT_ref[1, :]); qhi1 = jnp.max(qT_ref[1, :])
+        qlo2 = jnp.min(qT_ref[2, :]); qhi2 = jnp.max(qT_ref[2, :])
+        g0 = jnp.maximum(jnp.maximum(qlo0 - thi0, tlo0 - qhi0), 0.0)
+        g1 = jnp.maximum(jnp.maximum(qlo1 - thi1, tlo1 - qhi1), 0.0)
+        g2 = jnp.maximum(jnp.maximum(qlo2 - thi2, tlo2 - qhi2), 0.0)
+        lb2 = g0 * g0 + g1 * g1 + g2 * g2
+        # compare in int space: non-negative f32 bit patterns are order-
+        # isomorphic to their values, and Mosaic only bitcasts vectors —
+        # so lift lb2 into a vector, bitcast, and compare scalar ints
+        lb2_bits = jax.lax.bitcast_convert_type(
+            jnp.full((1, 128), lb2, jnp.float32), jnp.int32
+        )[0, 0]
+        worst = jnp.max(pk_ref[0, :]) & ~mask
 
-        idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-        packed = (jax.lax.bitcast_convert_type(d2, jnp.int32) & ~mask) | idx
-        local = jnp.min(packed, axis=0)
+        @pl.when(lb2_bits <= worst)
+        def _():
+            t0 = tT_ref[0, :][:, None]  # (BT, 1)
+            t1 = tT_ref[1, :][:, None]
+            t2 = tT_ref[2, :][:, None]
+            pen = tT_ref[3, :][:, None]
+            q0 = qT_ref[0:1, :]  # (1, BQ)
+            q1 = qT_ref[1:2, :]
+            q2 = qT_ref[2:3, :]
+            e0 = t0 - q0
+            e1 = t1 - q1
+            e2 = t2 - q2
+            d2 = e0 * e0 + e1 * e1 + e2 * e2 + pen  # (BT, BQ), exact f32
 
-        best = pk_ref[0, :]
-        better = local < best
-        pk_ref[0, :] = jnp.where(better, local, best)
-        jwin_ref[0, :] = jnp.where(better, j, jwin_ref[0, :])
+            idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+            packed = (jax.lax.bitcast_convert_type(d2, jnp.int32) & ~mask) | idx
+            local = jnp.min(packed, axis=0)
+
+            best = pk_ref[0, :]
+            better = local < best
+            pk_ref[0, :] = jnp.where(better, local, best)
+            jwin_ref[0, :] = jnp.where(better, jj, jwin_ref[0, :])
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bt", "interpret"))
@@ -297,13 +337,18 @@ def nearest_neighbors_pallas3(
     else:
         vl = jnp.asarray(valid_len, jnp.int32).reshape(1)
 
-    def tgt_block(i, j, vl_ref):
-        last = jnp.maximum((vl_ref[0] + bt - 1) // bt - 1, 0)
-        return (0, jnp.minimum(j, last))
+    nt, mt = n // bq, m // bt
 
-    grid = (n // bq, m // bt)
+    def tgt_block(i, j, vl_ref):
+        # same rotation as in-kernel: start each query block at its
+        # spatially-matching target slab (both clouds are voxel-key sorted)
+        jj = jax.lax.rem(j + (i * mt) // nt, mt)
+        last = jnp.maximum((vl_ref[0] + bt - 1) // bt - 1, 0)
+        return (0, jnp.minimum(jj, last))
+
+    grid = (nt, mt)
     jwin, pk = pl.pallas_call(
-        functools.partial(_nn3_kernel, bt=bt, ib=ib),
+        functools.partial(_nn3_kernel, bt=bt, ib=ib, mt=mt, nt=nt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

@@ -153,6 +153,9 @@ def odometry_step(
             init=state.last_transform,
             source_covs=covs if plane else None,
             target_covs=state.prev_covs if plane else None,
+            # voxel_downsample outputs are prefix-packed -> the NN kernel
+            # can skip dead-capacity tiles (cost scales with fill)
+            target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
         )
         accepted = res.converged & (res.fitness < icfg.fitness_threshold)
         # icp maps current scan into the previous frame → relative motion

@@ -74,6 +74,40 @@ class TestPallasNN:
         )
         assert np.all(np.isinf(np.asarray(got.dist2)))
 
+    def test_aabb_skip_spatially_sorted(self, kernel):
+        # voxel-key-sorted slabs: the AABB pruning + rotated tile visit
+        # must still produce exact results (this layout maximizes skips)
+        rng = np.random.RandomState(21)
+        base = np.sort(rng.uniform(0, 40, 1024)).astype(np.float32)
+        q = np.stack([base, rng.randn(1024).astype(np.float32),
+                      rng.randn(1024).astype(np.float32)], -1)
+        t = q + rng.randn(1024, 3).astype(np.float32) * 0.05
+        t = t[np.argsort(t[:, 0])]
+        qj, tj = jnp.asarray(q), jnp.asarray(t)
+        tm = jnp.ones(1024, bool)
+        ref = nn_ops.nearest_neighbors(qj, tj, tm, use_pallas=False)
+        got = kernel(qj, tj, tm, bq=256, bt=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+        np.testing.assert_allclose(
+            np.asarray(got.dist2), np.asarray(ref.dist2), atol=1e-4
+        )
+
+    def test_aabb_skip_with_valid_len(self, kernel):
+        # pruning + live-prefix skipping together
+        rng = np.random.RandomState(22)
+        q = np.sort(rng.uniform(0, 20, 512)).astype(np.float32)
+        q = np.stack([q, np.zeros(512, np.float32), np.zeros(512, np.float32)], -1)
+        t = np.concatenate([q[:384] + 0.01, np.zeros((128, 3), np.float32)])
+        tm = jnp.arange(512) < 384
+        qj, tj = jnp.asarray(q), jnp.asarray(t)
+        ref = nn_ops.nearest_neighbors(qj, tj, tm, use_pallas=False)
+        got = kernel(qj, tj, tm, valid_len=jnp.asarray(384), bq=256, bt=128,
+                     interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+        np.testing.assert_allclose(
+            np.asarray(got.dist2), np.asarray(ref.dist2), atol=1e-4
+        )
+
     def test_indivisible_raises(self, kernel):
         with pytest.raises(ValueError):
             kernel(

@@ -75,7 +75,15 @@ def gicp_covariances(
     """
     pts = cloud.points
     dtype = pts.dtype
-    idx, d2 = nn_ops.knn(pts, pts, cloud.mask, k=k, block=block, approx=approx)
+    # statistics tolerate approximate neighbors: HIGH (3-pass bf16)
+    # distances + 0.9 recall cut the stage 1.38->0.84 ms/scan on v5e
+    # with normals matching exact selection (median |n.n'| = 1.0,
+    # 5th percentile 0.998 at bench sizes)
+    idx, d2 = nn_ops.knn(
+        pts, pts, cloud.mask, k=k, block=block, approx=approx,
+        recall_target=0.9 if approx else 0.95,
+        precision=jax.lax.Precision.HIGH,
+    )
 
     # Gather neighbors as (N, k, 3) rows — XLA lowers row gathers well —
     # then transpose to the (k, N) lane layout for the moment reductions

@@ -111,6 +111,8 @@ def knn(
     k: int,
     block: int = 512,
     approx: bool = False,
+    recall_target: float = 0.95,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN: returns (idx (N, k) int32, dist2 (N, k)).
 
@@ -124,6 +126,12 @@ def knn(
 
     Invalid targets sort last with +inf distance; if fewer than k valid
     targets exist the trailing neighbors have inf dist2 (callers mask).
+
+    ``recall_target`` tunes ``approx_max_k`` (only with ``approx=True``);
+    ``precision`` overrides the distance-matmul precision — HIGHEST by
+    default (exact selection); statistics consumers (GICP covariances)
+    pass HIGH (3-pass bf16) + a lower recall for ~equal quality at lower
+    cost.
     """
     n = query.shape[0]
     np_ = _pad_blocks(n, block)
@@ -137,14 +145,15 @@ def knn(
     t_norm2 = jnp.where(target_mask, t_norm2, _INF)
     tT = target.T
 
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
+
     def one_block(qb):
         cross = jnp.dot(
-            qb, tT, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            qb, tT, preferred_element_type=jnp.float32, precision=prec,
         )
         d2 = jnp.sum(qb * qb, axis=-1)[:, None] - 2.0 * cross + t_norm2[None, :]
         if approx:
-            neg_top, idx = jax.lax.approx_max_k(-d2, k)
+            neg_top, idx = jax.lax.approx_max_k(-d2, k, recall_target=recall_target)
         else:
             neg_top, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg_top

@@ -9,14 +9,16 @@ refinement (30 iters, ``/root/reference/src/icpslam/octree_mapper.cpp:101-124``)
 Structure per outer iteration (under ``lax.while_loop``; early exit on the
 transform-epsilon test like PCL):
 
-1. transform source by the current pose estimate
-2. exact 1-NN correspondences via blocked MXU matmuls (``ops.nn``)
+1. transform source by the current pose estimate (component form)
+2. exact 1-NN correspondences via the fused Pallas kernel (``ops.nn``)
 3. gate by max correspondence distance + validity masks
 4. Huber robust weights on residual norms
 5. transform update:
    - ``point``: closed-form weighted Kabsch/Horn (``ops.kabsch``)
    - ``plane``: one Gauss-Newton step on se(3) with GICP fused covariance
-     weighting ``(C_dst + R C_src Rᵀ)⁻¹`` (batched 3×3 adjugate inverses)
+     weighting ``(C_dst + R C_src Rᵀ)⁻¹`` — all in structure-of-arrays
+     component form on (N,) lane-aligned arrays (see the layout note
+     inside ``icp``), solved by an unrolled 6×6 Cholesky
 
 Outputs mirror the reference's acceptance inputs: ``converged`` flag and a
 ``fitness`` score (mean squared correspondence distance, like PCL's

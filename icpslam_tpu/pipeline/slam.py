@@ -229,6 +229,13 @@ def run_scans(
     Amortizes per-call host dispatch (the TPU-native replacement for the
     reference's callback-thread ingest: the host stacks scans while the
     device runs the previous chunk). Jit with ``static_argnums=(2,)``.
+
+    Caveat (measured on v5e): chunked driving wins for the *odometry*
+    front-end (small carried state — ``odometry.run_scans``), but LOSES
+    badly for the full pipeline — XLA does not alias the large carried
+    SlamState (map + keyframe clouds) across ``lax.scan`` iterations, so
+    every step copies it. Drive the full pipeline step-by-step and let
+    JAX's async dispatch overlap host and device instead.
     """
 
     def f(st, scan):

@@ -43,9 +43,11 @@ from icpslam_tpu.ops.nn import NNResult
 DEFAULT_BQ = 256
 DEFAULT_BT = 512
 # preferred (largest) tile sizes — measured fastest at scan scale on v5e
-# (0.64 ms -> 0.36 ms at 8192x8192 vs the 256/512 minimum tiles)
+# with the AABB tile pruning (1024x1024: 0.257 ms at 8192x8192 vs 0.270 at
+# 1024x2048 and 0.374 at the 256/512 minimum tiles; map-scale queries with
+# valid_len are insensitive: 1.28 vs 1.30 ms at 8192x262144 @ 21k fill)
 MAX_BQ = 1024
-MAX_BT = 2048
+MAX_BT = 1024
 
 
 def pick_tiles(n: int, m: int) -> tuple[int, int] | None:

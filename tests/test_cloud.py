@@ -64,6 +64,36 @@ class TestVoxelDownsample:
         for k, v in ref.items():
             np.testing.assert_allclose(got_map[k], v, atol=1e-5)
 
+    def test_matches_numpy_reference_large_scale(self):
+        # realistic magnitudes: 20k points over ±20 m at 0.2 m leaves —
+        # exercises the cumsum-difference segment reduction's f32 noise
+        # floor (voxel-relative offsets keep it ~1e-4 m, see voxel.py)
+        rng = np.random.RandomState(7)
+        pts = rng.uniform(-20, 20, size=(20000, 3)).astype(np.float32)
+        res = 0.2
+        c = pc.from_points(pts, capacity=32768)
+        filtered, nvox = jax.jit(voxel_downsample, static_argnums=(2,))(
+            c, res, 32768
+        )
+        # f32 flooring to match the kernel's cell assignment exactly
+        keys = np.floor(pts / np.float32(res)).astype(np.int64)
+        ref = {}
+        for p, k in zip(pts, map(tuple, keys)):
+            ref.setdefault(k, []).append(p)
+        ref = {k: np.mean(v, axis=0) for k, v in ref.items()}
+        assert int(nvox) == len(ref)
+        got = pc.to_numpy(filtered)
+        assert got.shape[0] == len(ref)
+        got_map = {tuple(np.floor(g / np.float32(res)).astype(np.int64)): g
+                   for g in got}
+        # centroids can land a hair across a cell boundary from f32 noise;
+        # match by value instead for the few misses
+        hits = sum(1 for k in ref if k in got_map)
+        assert hits >= 0.999 * len(ref), (hits, len(ref))
+        for k, v in ref.items():
+            if k in got_map:
+                np.testing.assert_allclose(got_map[k], v, atol=5e-4)
+
     def test_negative_coordinates(self):
         # floor (not trunc) semantics around zero
         pts = np.array([[-0.01, 0, 0], [0.01, 0, 0]], dtype=np.float32)

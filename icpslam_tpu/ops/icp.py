@@ -129,6 +129,9 @@ def icp(
         res = nn_ops.nearest_neighbors(
             src_t, target.points, target.mask, block=nn_block,
             valid_len=target_valid_len,
+            # matches beyond the gate are discarded below — license the
+            # kernel to prune tiles past it (exact within the gate)
+            prune_beyond=float(max_d2),
         )
         return res.idx, jnp.isfinite(res.dist2)
 

@@ -39,6 +39,7 @@ def nearest_neighbors(
     block: int = 1024,
     use_pallas: bool | None = None,
     valid_len: jnp.ndarray | None = None,
+    prune_beyond: float | None = None,
 ) -> NNResult:
     """Exact 1-NN of each query point in the (masked) target cloud.
 
@@ -51,6 +52,12 @@ def nearest_neighbors(
     out). The Pallas kernel uses it to skip dead-capacity tiles so cost
     scales with fill, not capacity; the XLA path ignores it (masking
     already guarantees correctness).
+
+    ``prune_beyond``: optional static squared don't-care radius (see the
+    kernel docstring) — results are exact within it; queries with no
+    target inside it may report a farther candidate or inf. The XLA path
+    ignores it (it is an optimization license, not a semantic change for
+    gate-respecting callers).
 
     On TPU, tile-divisible shapes dispatch to the fused subtraction-form
     Pallas kernel (``ops.pallas.nn_kernel.nearest_neighbors_pallas3``):
@@ -66,7 +73,7 @@ def nearest_neighbors(
     if use_pallas and tiles is not None:
         return nn_kernel.nearest_neighbors_pallas3(
             query, target, target_mask, valid_len=valid_len,
-            bq=tiles[0], bt=tiles[1],
+            bq=tiles[0], bt=tiles[1], prune_beyond=prune_beyond,
         )
     n = query.shape[0]
     np_ = _pad_blocks(n, block)

@@ -215,7 +215,7 @@ _INIT_F32 = 3e38
 
 def _nn3_kernel(
     vl_ref, qT_ref, tT_ref, jwin_ref, pk_ref, *, bt: int, ib: int,
-    mt: int, nt: int,
+    mt: int, nt: int, prune_bits: int,
 ):
     """Grid step (i, j): query tile i vs target tile jj, d² on the VPU.
 
@@ -274,6 +274,10 @@ def _nn3_kernel(
             jnp.full((1, 128), lb2, jnp.float32), jnp.int32
         )[0, 0]
         worst = jnp.max(pk_ref[0, :]) & ~mask
+        # cap by the caller's don't-care radius: matches beyond it are
+        # discarded anyway, so tiles farther than it never need computing
+        # (un-matched queries then report d² = +inf, same as all-masked)
+        worst = jnp.minimum(worst, jnp.int32(prune_bits))
 
         @pl.when(lb2_bits <= worst)
         def _():
@@ -299,7 +303,9 @@ def _nn3_kernel(
             jwin_ref[0, :] = jnp.where(better, jj, jwin_ref[0, :])
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bt", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("bq", "bt", "interpret", "prune_beyond")
+)
 def nearest_neighbors_pallas3(
     query: jnp.ndarray,
     target: jnp.ndarray,
@@ -308,12 +314,20 @@ def nearest_neighbors_pallas3(
     bq: int = DEFAULT_BQ,
     bt: int = DEFAULT_BT,
     interpret: bool = False,
+    prune_beyond: float | None = None,
 ) -> NNResult:
     """Exact 1-NN, v3: subtraction-form d² on the VPU (no MXU).
 
     Same contract as ``nearest_neighbors_pallas``; selection is exact f32
     up to the ``ib``-bit packing quantization (lowest index on quantized
     ties); the returned ``dist2`` is recomputed exactly from the winner.
+
+    ``prune_beyond`` (static float, optional): squared don't-care radius.
+    Results stay exact for every query whose true NN lies within it;
+    queries whose nearest target is farther may instead report a farther
+    candidate or ``dist2 = inf``. Callers that gate correspondences at a
+    max distance (ICP) pass that gate here — AABB pruning then skips
+    far tiles even for blocks containing gate-failing outlier queries.
     """
     n = query.shape[0]
     m = target.shape[0]
@@ -340,6 +354,11 @@ def nearest_neighbors_pallas3(
         vl = jnp.asarray(valid_len, jnp.int32).reshape(1)
 
     nt, mt = n // bq, m // bt
+    prune_bits = (
+        int(np.float32(_INIT_F32).view(np.int32))
+        if prune_beyond is None
+        else int(np.float32(prune_beyond).view(np.int32))
+    )
 
     def tgt_block(i, j, vl_ref):
         # same rotation as in-kernel: start each query block at its
@@ -350,7 +369,8 @@ def nearest_neighbors_pallas3(
 
     grid = (nt, mt)
     jwin, pk = pl.pallas_call(
-        functools.partial(_nn3_kernel, bt=bt, ib=ib, mt=mt, nt=nt),
+        functools.partial(_nn3_kernel, bt=bt, ib=ib, mt=mt, nt=nt,
+                          prune_bits=prune_bits),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

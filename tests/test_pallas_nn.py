@@ -108,6 +108,38 @@ class TestPallasNN:
             np.asarray(got.dist2), np.asarray(ref.dist2), atol=1e-4
         )
 
+    def test_prune_beyond_exact_within_radius(self, kernel):
+        from icpslam_tpu.ops.pallas.nn_kernel import nearest_neighbors_pallas3
+        if kernel is not nearest_neighbors_pallas3:
+            pytest.skip("prune_beyond is a v3 feature")
+        rng = np.random.RandomState(30)
+        t = np.sort(rng.uniform(0, 10, 512)).astype(np.float32)
+        t = np.stack([t, np.zeros(512, np.float32), np.zeros(512, np.float32)], -1)
+        # near queries (true NN well inside the radius) + far outliers
+        qn = t[::2] + 0.01
+        qf = qn.copy(); qf[:, 0] += 500.0  # hopeless outliers
+        q = np.concatenate([qn, qf])
+        qj, tj = jnp.asarray(q), jnp.asarray(t)
+        tm = jnp.ones(512, bool)
+        # f64 brute force: the XLA matmul-form path itself loses the
+        # ~1e-4-scale distance discrimination once the outliers drag the
+        # centering far from the near cluster — the subtraction-form
+        # kernel does not (that asymmetry is the point of the v3 kernel)
+        d2f = ((q.astype(np.float64)[:, None]
+                - t.astype(np.float64)[None]) ** 2).sum(-1)
+        got = kernel(qj, tj, tm, bq=256, bt=128, interpret=True,
+                     prune_beyond=1.0)
+        n = len(qn)
+        # within the radius: exact
+        np.testing.assert_array_equal(
+            np.asarray(got.idx[:n]), d2f[:n].argmin(1))
+        np.testing.assert_allclose(
+            np.asarray(got.dist2[:n]), d2f[:n].min(1), atol=1e-5)
+        # outliers: either inf or some d2 beyond the radius — never a
+        # spurious within-radius match
+        d2f = np.asarray(got.dist2[n:])
+        assert np.all(~np.isfinite(d2f) | (d2f > 1.0))
+
     def test_indivisible_raises(self, kernel):
         with pytest.raises(ValueError):
             kernel(

@@ -95,7 +95,19 @@ def main() -> int:
             os.path.join(args.out_dir, "map.ply"), rendered.map.as_cloud()
         )
         checkpoint.save(os.path.join(args.out_dir, "state.npz"), res.state)
-        log.info(f"exported trajectory, graph, {n_pts}-point map, checkpoint to {args.out_dir}")
+        from icpslam_tpu.viz import html as viz_html
+
+        viz_html.export_state_html(
+            os.path.join(args.out_dir, "viewer.html"),
+            rendered,
+            trajectory=res.trajectory,
+            ground_truth=gt,
+            title="icpslam_tpu — synthetic city",
+        )
+        log.info(
+            f"exported trajectory, graph, {n_pts}-point map, checkpoint, "
+            f"viewer.html to {args.out_dir}"
+        )
     return 0
 
 

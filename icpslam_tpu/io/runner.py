@@ -215,6 +215,11 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None, help="write trajectory .npz")
+    ap.add_argument(
+        "--html", type=str, default=None,
+        help="write a standalone interactive viewer (map + trajectories + "
+        "pose graph) to this HTML file",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -281,6 +286,17 @@ def main(argv=None) -> int:
             **({"gt_t": np.asarray(gt.t), "gt_q": np.asarray(gt.q)} if gt is not None else {}),
         )
         log.info(f"wrote trajectory to {args.out}")
+    if args.html:
+        from icpslam_tpu.viz import html as viz_html
+
+        viz_html.export_state_html(
+            args.html,
+            res.state,
+            trajectory=res.trajectory,
+            ground_truth=gt if (gt is not None and gt.t.shape[0] == n) else None,
+            title=f"icpslam_tpu — {'synthetic' if args.synthetic else f'KITTI {args.seq}'}",
+        )
+        log.info(f"wrote viewer to {args.html}")
     return 0
 
 

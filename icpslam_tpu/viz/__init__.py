@@ -1,1 +1,1 @@
-from icpslam_tpu.viz import export  # noqa: F401
+from icpslam_tpu.viz import export, html  # noqa: F401

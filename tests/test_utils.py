@@ -20,6 +20,7 @@ from icpslam_tpu.utils import profiling
 from icpslam_tpu.utils.frames import FrameGraph, default_frame_graph
 from icpslam_tpu.utils.logging import Logger
 from icpslam_tpu.viz import export as viz
+from icpslam_tpu.viz import html as viz_html
 
 
 class TestFrameGraph:
@@ -127,6 +128,55 @@ class TestVizExport:
         for e in loaded["edges"]:
             expect = "loop" if abs(e["i"] - e["j"]) > 2 else "sequential"
             assert e["type"] == expect
+
+    @staticmethod
+    def _extract_viewer_data(path):
+        """Pull the injected DATA JSON back out of the viewer HTML."""
+        text = open(path).read()
+        start = text.index("const DATA = ") + len("const DATA = ")
+        end = text.index(";\n", start)
+        return json.loads(text[start:end])
+
+    def test_export_html_layers_roundtrip(self, tmp_path):
+        import base64
+
+        pts = np.random.RandomState(1).randn(40, 3).astype(np.float32)
+        traj = np.cumsum(np.ones((7, 3), np.float32), axis=0)
+        layers = [
+            viz_html.points_layer("map", pts, color_mode="height"),
+            viz_html.line_layer("trajectory", traj, color=(0.2, 0.9, 1.0)),
+        ]
+        path = os.path.join(tmp_path, "view.html")
+        viz_html.export_html(path, layers, title="t", stats={"scans": 7})
+        doc = self._extract_viewer_data(path)
+        assert doc["title"] == "t" and doc["stats"]["scans"] == 7
+        assert [ly["name"] for ly in doc["layers"]] == ["map", "trajectory"]
+        m = doc["layers"][0]
+        decoded = np.frombuffer(base64.b64decode(m["pos"]), "<f4").reshape(-1, 3)
+        np.testing.assert_allclose(decoded, pts, atol=1e-7)
+        assert m["n"] == 40 and m["colorMode"] == "height"
+        assert doc["layers"][1]["kind"] == "linestrip"
+        # self-contained: no external resources referenced
+        text = open(path).read()
+        assert "http://" not in text and "https://" not in text
+
+    def test_export_state_html(self, tmp_path):
+        state = self._run_small_slam()
+        path = os.path.join(tmp_path, "state.html")
+        viz_html.export_state_html(path, state, title="run")
+        doc = self._extract_viewer_data(path)
+        names = [ly["name"] for ly in doc["layers"]]
+        assert "graph nodes" in names
+        nodes = doc["layers"][names.index("graph nodes")]
+        assert nodes["n"] == int(state.keyframes.count)
+        assert doc["stats"]["keyframes"] == int(state.keyframes.count)
+        if int(state.map.size) > 0:
+            assert "map" in names
+            assert doc["layers"][names.index("map")]["n"] == int(state.map.size)
+        # edge segment layers carry 2 vertices per edge
+        for ly in doc["layers"]:
+            if ly["kind"] == "lines":
+                assert ly["n"] % 2 == 0 and ly["n"] > 0
 
 
 class TestProfiling:

@@ -1,25 +1,34 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Headline: GICP scan-to-scan odometry throughput (scans/sec) through the
-full jitted odometry step — voxel filter + covariance estimation + 10-iter
-plane-to-plane ICP — at KITTI-like sizes (raw scans ~32k points, ~8k
-voxel-filtered), on whatever device JAX selects (the real TPU chip under
-the driver; CPU with --cpu).
+Headline: FULL SLAM pipeline throughput (scans/sec) through the jitted
+``slam_step`` — voxel filter + covariance estimation + 10-iter GICP
+odometry + scan-to-map refinement + keyframes/loop-closure/pose-graph —
+at KITTI-like sizes (raw scans ~32k points, ~8k voxel-filtered), on
+whatever device JAX selects (the real TPU chip under the driver; CPU with
+--cpu). This is the analog of the reference's operating loop
+(``/root/reference/src/icpslam/icpslam.cpp:107-189``), not just the
+front-end.
 
 ``vs_baseline`` compares against the reference operating point: PCL GICP
 at 10 iterations on clouds this size runs at roughly 10 scans/s on a
 desktop CPU core (no published numbers exist — BASELINE.md documents that
 the baseline must be established; 10 scans/s is the conservative estimate
-the ≥10x target in BASELINE.json is measured against).
+the ≥10x target in BASELINE.json is measured against). The reference's
+full mainLoop (odometry GICP + octree NN + 30-iter mapping GICP) is
+strictly slower than its front-end alone, so using the front-end estimate
+as the denominator *understates* our multiplier.
 
-Usage: python bench.py [--cpu] [--scans N] [--json-only]
+Secondary metrics (stderr, one JSON line each): front-end odometry
+throughput, pose-graph solve latency, and optional on-device Pallas-vs-XLA
+kernel verification (--verify-kernels).
+
+Usage: python bench.py [--cpu] [--scans N] [--json-only] [--verify-kernels]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -27,52 +36,13 @@ import time
 REFERENCE_SCANS_PER_SEC = 10.0  # documented estimate for PCL GICP, see above
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--scans", type=int, default=30, help="timed scans")
-    ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--json-only", action="store_true")
-    ap.add_argument(
-        "--refresh", type=int, default=1,
-        help="ICP correspondence_refresh (1 = PCL-parity fresh NN every iter)",
-    )
-    ap.add_argument("--suite", action="store_true", help="also report graph-solve latency (stderr)")
-    args = ap.parse_args()
-
-    import jax
-
-    if args.cpu:
-        # env vars are too late once sitecustomize registered the TPU
-        # plugin; the config API still switches the platform.
-        jax.config.update("jax_platforms", "cpu")
-    import numpy as np
-
-    from icpslam_tpu.cloud import pointcloud as pc
-    from icpslam_tpu.config import IcpConfig, SlamConfig
-    from icpslam_tpu.geometry import se3
+def _make_stream(jax, cfg, n_scans, warmup):
+    """KITTI-like synthetic stream: big room, ~32k-point scans."""
     from icpslam_tpu.io import synthetic
-    from icpslam_tpu.pipeline import odometry
 
     dev = jax.devices()[0]
-    if not args.json_only:
-        print(f"# device: {dev}", file=sys.stderr)
-
-    cfg = SlamConfig(
-        voxel_leaf_size=0.2,
-        icp_odometry=IcpConfig(
-            mode="plane", max_iterations=10,
-            correspondence_refresh=args.refresh,
-        ),
-        max_points=8192,
-        max_raw_points=32768,
-    )
-
-    # KITTI-like synthetic stream: big room, ~32k-point scans
     world = synthetic.make_room_world(seed=0, n_points=200000, size=40.0, height=4.0)
-    gt = synthetic.make_loop_trajectory(
-        n_poses=args.warmup + args.scans, radius=12.0, laps=0.5
-    )
+    gt = synthetic.make_loop_trajectory(n_poses=warmup + n_scans, radius=12.0, laps=0.5)
     scans = [
         jax.device_put(s, dev)
         for s in synthetic.scan_stream(
@@ -80,70 +50,26 @@ def main() -> int:
             n_points=30000, noise=0.02, seed=0,
         )
     ]
-
-    # Chunked driving (lax.scan over CHUNK scans per device call) — the
-    # production ingest pattern: the host stacks the next chunk while the
-    # device runs the current one. Worth ~1.4 ms/scan over step-by-step
-    # dispatch on the tunneled chip.
-    CHUNK = 10
-    assert args.scans % CHUNK == 0, "--scans must be a multiple of 10"
-    run = jax.jit(odometry.run_scans, static_argnums=(2,), donate_argnums=(0,))
-    state = jax.device_put(odometry.init_state(cfg, se3.index(gt, 0)), dev)
-
-    def stack(cs):
-        import jax.tree_util as jtu
-        return jtu.tree_map(lambda *x: jnp.stack(x), *cs)
-
-    import jax.numpy as jnp
-    warm_chunk = stack(scans[: args.warmup] * ((CHUNK + args.warmup - 1) // args.warmup))
-    warm_chunk = jax.tree_util.tree_map(lambda x: x[:CHUNK], warm_chunk)
-    chunks = [
-        stack(scans[args.warmup + i : args.warmup + i + CHUNK])
-        for i in range(0, args.scans, CHUNK)
-    ]
-
-    # warmup / compile
-    state, out = run(state, warm_chunk, cfg)
-    jax.block_until_ready(state)
-
-    t0 = time.perf_counter()
-    for ch in chunks:
-        state, out = run(state, ch, cfg)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-
-    scans_per_sec = args.scans / dt
-    result = {
-        "metric": "gicp_odometry_scans_per_sec",
-        "value": round(scans_per_sec, 3),
-        "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 3),
-    }
-    print(json.dumps(result))
-
-    if args.suite:
-        # secondary metrics (stderr — stdout stays one JSON line)
-        _bench_full_slam(jax, np, cfg, scans, gt)
-        _bench_suite(jax, np)
-    return 0
+    return scans, gt
 
 
-def _bench_full_slam(jax, np, cfg, scans, gt):
-    """Full slam_step throughput (odometry + scan-to-map + keyframes/graph)
-    on the same scan stream as the headline; printed to stderr."""
+def bench_full_slam(jax, cfg, scans, gt, donate: bool = True):
+    """Full slam_step throughput (odometry + scan-to-map + keyframes +
+    loop closure + windowed graph solve) — the headline.
+
+    Driven step-by-step: chunked lax.scan driving measured *slower* for
+    the full pipeline on this backend (XLA copies the large carried
+    map/keyframe state per iteration), unlike the odometry front-end
+    where chunking wins. Buffer donation of the SlamState avoids a
+    state-sized copy per step.
+    """
     from icpslam_tpu.geometry import se3
     from icpslam_tpu.pipeline import slam
 
-    import jax.numpy as jnp
-    import jax.tree_util as jtu
-
-    # NOTE: no donate_argnums here — donating the full SlamState pytree
-    # trips an INVALID_ARGUMENT in the tunneled TPU backend (the smaller
-    # odometry state donates fine); memory is ample without it. Driven
-    # step-by-step: chunked lax.scan driving measured *slower* for the
-    # full pipeline on this backend (large carried state), unlike the
-    # odometry headline where chunking wins.
-    step = jax.jit(slam.slam_step, static_argnums=(2,))
+    kw = dict(static_argnums=(2,))
+    if donate:
+        kw["donate_argnums"] = (0,)
+    step = jax.jit(slam.slam_step, **kw)
     state = slam.init_state(cfg, se3.index(gt, 0))
     n_warm = min(3, len(scans) - 1)
     for i in range(n_warm):
@@ -154,21 +80,40 @@ def _bench_full_slam(jax, np, cfg, scans, gt):
         state, out = step(state, scans[i], cfg)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "metric": "full_slam_step_scans_per_sec",
-                "value": round((len(scans) - n_warm) / dt, 3),
-                "unit": "scans/s (incl. scan-to-map + keyframes + graph)",
-            }
-        ),
-        file=sys.stderr,
-    )
+    return (len(scans) - n_warm) / dt
 
 
-def _bench_suite(jax, np):
-    """Graph-solve latency and full-pipeline throughput (BASELINE.md's
-    secondary metrics); printed to stderr."""
+def bench_odometry(jax, cfg, scans, gt, n_warm, chunk=10):
+    """Front-end odometry throughput (chunked lax.scan driving)."""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from icpslam_tpu.geometry import se3
+    from icpslam_tpu.pipeline import odometry
+
+    run = jax.jit(odometry.run_scans, static_argnums=(2,), donate_argnums=(0,))
+    state = odometry.init_state(cfg, se3.index(gt, 0))
+
+    def stack(cs):
+        return jtu.tree_map(lambda *x: jnp.stack(x), *cs)
+
+    timed = scans[n_warm:]
+    n = len(timed) // chunk * chunk
+    warm_chunk = stack((scans[:n_warm] * chunk)[:chunk])
+    chunks = [stack(timed[i : i + chunk]) for i in range(0, n, chunk)]
+
+    state, out = run(state, warm_chunk, cfg)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for ch in chunks:
+        state, out = run(state, ch, cfg)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_graph_solvers(jax, np):
+    """Pose-graph solve latency (BASELINE.md secondary metric)."""
     import jax.numpy as jnp
 
     from icpslam_tpu.geometry import se3
@@ -197,7 +142,8 @@ def _bench_suite(jax, np):
         )
 
     nodes_list = [mknodes(s) for s in range(12)]
-    for name, solver in (("direct", "direct"), ("pcg", "pcg")):
+    out_ms = {}
+    for solver in ("direct", "pcg", "schur"):
         f = jax.jit(
             lambda n: pg.optimize(
                 n, edges, mask, iterations=5, mode="lm", linear_solver=solver
@@ -209,17 +155,115 @@ def _bench_suite(jax, np):
         for n in nodes_list[:10]:
             out = f(n)
         jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) / 10 * 1000
+        out_ms[solver] = (time.perf_counter() - t0) / 10 * 1000
+    return out_ms
+
+
+def verify_kernels(jax, np):
+    """On-device Pallas-vs-XLA NN correctness check (VERDICT r1 item 10):
+    same correspondences/distances from the fused Pallas kernel and the
+    pure-XLA fallback, on the actual backend this bench runs on."""
+    import jax.numpy as jnp
+
+    from icpslam_tpu.ops import nn as nn_ops
+
+    rng = np.random.RandomState(7)
+    checks = []
+    for N, M in ((2048, 4096), (4096, 8192)):
+        q = jnp.asarray(rng.uniform(-20, 20, (N, 3)).astype(np.float32))
+        t = jnp.asarray(rng.uniform(-20, 20, (M, 3)).astype(np.float32))
+        tm = jnp.asarray(np.arange(M) < M - 101)  # padded tail masked out
+        res_p = nn_ops.nearest_neighbors(q, t, tm, use_pallas=True)
+        res_x = nn_ops.nearest_neighbors(q, t, tm, use_pallas=False)
+        # ties can legitimately differ in index — compare distances, and
+        # indices only where the distance gap is meaningful
+        d_ok = bool(jnp.max(jnp.abs(res_p.dist2 - res_x.dist2)) < 1e-3)
+        idx_match = jnp.mean((res_p.idx == res_x.idx).astype(jnp.float32))
+        checks.append({
+            "shape": [N, M],
+            "idx_match_frac": round(float(idx_match), 5),
+            "dists_close": d_ok,
+        })
+    ok = all(c["dists_close"] and c["idx_match_frac"] > 0.999 for c in checks)
+    return ok, checks
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--scans", type=int, default=33, help="timed scans (+warmup)")
+    ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="disable SlamState buffer donation in the headline")
+    ap.add_argument("--suite", action="store_true",
+                    help="also report odometry + graph-solve metrics (stderr)")
+    ap.add_argument("--verify-kernels", action="store_true",
+                    help="diff Pallas vs XLA NN on this device (stderr)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        # env vars are too late once sitecustomize registered the TPU
+        # plugin; the config API still switches the platform.
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from icpslam_tpu.config import IcpConfig, SlamConfig
+
+    dev = jax.devices()[0]
+    if not args.json_only:
+        print(f"# device: {dev}", file=sys.stderr)
+
+    cfg = SlamConfig(
+        voxel_leaf_size=0.2,
+        icp_odometry=IcpConfig(mode="plane", max_iterations=10),
+        max_points=8192,
+        max_raw_points=32768,
+    )
+
+    n_warm = 3
+    scans, gt = _make_stream(jax, cfg, args.scans - n_warm, n_warm)
+
+    if args.verify_kernels:
+        ok, checks = verify_kernels(jax, np)
         print(
-            json.dumps(
-                {
-                    "metric": f"pose_graph_solve_ms_{name}",
-                    "value": round(ms, 2),
-                    "unit": "ms (K=512, E=2048, 5 LM iters)",
-                }
-            ),
+            json.dumps({"metric": "pallas_kernel_verification",
+                        "value": "pass" if ok else "FAIL", "checks": checks}),
             file=sys.stderr,
         )
+        if not ok:
+            print(json.dumps({"metric": "full_slam_step_scans_per_sec",
+                              "value": 0.0, "unit": "scans/s",
+                              "vs_baseline": 0.0,
+                              "error": "kernel verification failed"}))
+            return 1
+
+    sps = bench_full_slam(jax, cfg, scans, gt, donate=not args.no_donate)
+    result = {
+        "metric": "full_slam_step_scans_per_sec",
+        "value": round(sps, 3),
+        "unit": "scans/s (voxel+GICP odometry+scan-to-map+keyframes+graph)",
+        "vs_baseline": round(sps / REFERENCE_SCANS_PER_SEC, 3),
+    }
+
+    if args.suite:
+        odo_sps = bench_odometry(jax, cfg, scans, gt, n_warm)
+        print(
+            json.dumps({"metric": "gicp_odometry_scans_per_sec",
+                        "value": round(odo_sps, 3), "unit": "scans/s"}),
+            file=sys.stderr,
+        )
+        for solver, ms in bench_graph_solvers(jax, np).items():
+            print(
+                json.dumps({"metric": f"pose_graph_solve_ms_{solver}",
+                            "value": round(ms, 2),
+                            "unit": "ms (K=512, E=2048, 5 LM iters)"}),
+                file=sys.stderr,
+            )
+
+    print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":

@@ -80,6 +80,13 @@ class SlamConfig:
     robot_frame: str = "base_link"
     laser_frame: str = "laser"
 
+    # --- sensor extrinsic: pose of the laser in the robot frame, applied
+    # to every raw scan at ingest — the reference's per-cloud tf transform
+    # (icp_odometer.cpp:162-174). Static (t xyz, q wxyz) so the identity
+    # case compiles to nothing.
+    laser_extrinsic_t: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    laser_extrinsic_q: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+
     # --- front-end odometry ---
     num_clouds_skip: int = 0          # icpslam.yaml:13
     voxel_leaf_size: float = 0.2      # icpslam.yaml:14
@@ -110,6 +117,14 @@ class SlamConfig:
     enable_loop_closure: bool = True
     loop_closure_radius: float = 3.0
     loop_closure_min_id_gap: int = 3
+    # top-k radius candidates proposed per new keyframe; every candidate
+    # that passes verification contributes a loop edge
+    loop_closure_candidates: int = 2
+    # verification registration mode: 'point' (Kabsch) or 'plane' (GICP)
+    loop_closure_icp_mode: str = "point"
+    # consistency gate: fraction of source points that must find a
+    # correspondence at the verified pose (0 disables)
+    loop_closure_min_inlier_ratio: float = 0.3
     # graph solver: 'gn' or 'lm' — honors the reference's pluggable-backend
     # intent (launch/icpslam.launch:14-15 'g2o|gtsam' arg)
     graph_solver: str = "lm"
@@ -148,6 +163,14 @@ class SlamConfig:
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def has_laser_extrinsic(self) -> bool:
+        """True when a non-identity laser→robot extrinsic is configured
+        (static Python check — the identity case costs nothing under jit)."""
+        return self.laser_extrinsic_t != (0.0, 0.0, 0.0) or self.laser_extrinsic_q != (
+            1.0, 0.0, 0.0, 0.0,
+        )
 
 
 def tiny_config(**overrides) -> SlamConfig:

@@ -75,6 +75,14 @@ def ground_truth_velodyne(root: str, seq: str) -> Pose:
     return se3.from_matrix(jnp.asarray(velo, jnp.float32))
 
 
+def read_times(root: str, seq: str) -> np.ndarray:
+    """(N,) float64 sensor timestamps from sequences/<seq>/times.txt
+    (the stamps the reference threads through odometry and keyframes,
+    ``icp_odometer.cpp:206``, ``keyframe.h:24``)."""
+    path = os.path.join(root, "sequences", seq, "times.txt")
+    return np.loadtxt(path, dtype=np.float64).reshape(-1)
+
+
 def scan_files(root: str, seq: str) -> List[str]:
     d = os.path.join(root, "sequences", seq, "velodyne")
     return sorted(
@@ -89,11 +97,21 @@ def scan_stream(
     max_points: Optional[int] = None,
     start: int = 0,
     end: Optional[int] = None,
-) -> Iterator[pc.PointCloud]:
+    with_stamps: bool = False,
+):
+    """Yield padded scans; with ``with_stamps`` yields ``(cloud, stamp)``
+    pairs from times.txt (falling back to a 10 Hz counter if absent)."""
     files = scan_files(root, seq)[start:end]
+    stamps = None
+    if with_stamps:
+        try:
+            stamps = read_times(root, seq)[start:end]
+        except (FileNotFoundError, OSError):
+            stamps = np.arange(start, start + len(files), dtype=np.float64) * 0.1
     for i, f in enumerate(files):
         pts = read_scan(f, max_points=max_points or capacity, seed=i)
-        yield pc.from_points(pts, capacity=capacity)
+        cloud = pc.from_points(pts, capacity=capacity)
+        yield (cloud, float(stamps[i])) if with_stamps else cloud
 
 
 def find_dataset(candidates=("/data/kitti", "/root/data/kitti", "./data/kitti")) -> Optional[str]:

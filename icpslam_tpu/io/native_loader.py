@@ -151,16 +151,28 @@ class PrefetchingLoader:
 
 def scan_stream(
     root: str, seq: str, capacity: int, threads: int = 2, depth: int = 4,
-    start: int = 0, end: Optional[int] = None,
-) -> Iterator[pc.PointCloud]:
+    start: int = 0, end: Optional[int] = None, with_stamps: bool = False,
+):
     """Native prefetching KITTI stream; falls back to the Python reader
-    when the toolchain/library is unavailable."""
+    when the toolchain/library is unavailable. With ``with_stamps`` yields
+    ``(cloud, stamp)`` pairs using sequences/<seq>/times.txt."""
     from icpslam_tpu.io import kitti
 
     files: List[str] = kitti.scan_files(root, seq)[start:end]
+    stamps = None
+    if with_stamps:
+        try:
+            stamps = kitti.read_times(root, seq)[start:end]
+        except (FileNotFoundError, OSError):
+            stamps = np.arange(start, start + len(files), dtype=np.float64) * 0.1
     if available():
-        yield from PrefetchingLoader(files, capacity, threads=threads, depth=depth)
+        it = iter(PrefetchingLoader(files, capacity, threads=threads, depth=depth))
     else:
-        for i, f in enumerate(files):
-            pts = kitti.read_scan(f, max_points=capacity, seed=i)
-            yield pc.from_points(pts, capacity=capacity)
+        it = (
+            pc.from_points(
+                kitti.read_scan(f, max_points=capacity, seed=i), capacity=capacity
+            )
+            for i, f in enumerate(files)
+        )
+    for i, cloud in enumerate(it):
+        yield (cloud, float(stamps[i])) if with_stamps else cloud

@@ -72,13 +72,17 @@ def _stack_clouds(clouds: List[pc.PointCloud]) -> pc.PointCloud:
 
 
 def run_slam(
-    scans: Iterable[pc.PointCloud],
+    scans: Iterable,
     config: SlamConfig,
     initial_pose: Optional[Pose] = None,
     logger: Optional[Logger] = None,
     chunk: int = 1,
 ) -> RunResult:
     """Drive the jitted pipeline over a scan stream.
+
+    ``scans`` yields ``PointCloud``s, or ``(PointCloud, stamp)`` pairs to
+    thread real sensor timestamps through the pipeline (stored in
+    keyframes and exports; without stamps the state keeps a scan counter).
 
     ``chunk > 1`` feeds the device ``chunk`` scans per call through
     ``slam.run_scans`` (lax.scan) — amortizing per-call host dispatch and
@@ -94,16 +98,30 @@ def run_slam(
     per_scan = []
     t0 = time.perf_counter()
 
+    def split(item):
+        if isinstance(item, pc.PointCloud):
+            return item, None
+        cloud, stamp = item
+        return cloud, float(stamp)
+
     if chunk > 1:
         run = jax.jit(slam.run_scans, static_argnums=(2,))
         buf: List[pc.PointCloud] = []
+        stamp_buf: List[Optional[float]] = []
         done = 0
 
-        def flush(buf, state, done):
+        def flush(buf, stamp_buf, state, done):
             live = len(buf)
+            stamped = stamp_buf[0] is not None
             while len(buf) < chunk:
                 buf.append(pc.empty(config.max_raw_points))
-            state, outs = run(state, _stack_clouds(buf), config)
+                # pad with the last live stamp so discarded outputs don't
+                # advance state.stamp past the stream
+                stamp_buf.append(stamp_buf[-1])
+            stamps = (
+                jax.numpy.asarray(stamp_buf, jax.numpy.float32) if stamped else None
+            )
+            state, outs = run(state, _stack_clouds(buf), config, stamps)
             recs = _records_from_chunk(outs, done, live)
             per_scan.extend(recs)
             poses.append(
@@ -119,13 +137,15 @@ def run_slam(
                     )
             return state, done + live
 
-        for scan in scans:
+        for item in scans:
+            scan, stamp = split(item)
             buf.append(scan)
+            stamp_buf.append(stamp)
             if len(buf) == chunk:
-                state, done = flush(buf, state, done)
-                buf = []
+                state, done = flush(buf, stamp_buf, state, done)
+                buf, stamp_buf = [], []
         if buf:
-            state, done = flush(buf, state, done)
+            state, done = flush(buf, stamp_buf, state, done)
         wall = time.perf_counter() - t0
         traj = (
             Pose(
@@ -140,8 +160,14 @@ def run_slam(
         )
 
     step = jax.jit(slam.slam_step, static_argnums=(2,))
-    for i, scan in enumerate(scans):
-        state, out = step(state, scan, config)
+    for i, item in enumerate(scans):
+        scan, stamp = split(item)
+        if stamp is None:
+            state, out = step(state, scan, config)
+        else:
+            state, out = step(
+                state, scan, config, jax.numpy.asarray(stamp, jax.numpy.float32)
+            )
         poses.append(out.pose_map)
         rec = {
             "scan": i,
@@ -169,8 +195,25 @@ def run_slam(
     )
 
 
+def _parse_extrinsic(spec: Optional[str]):
+    """'x,y,z[,qw,qx,qy,qz]' → (t tuple, q tuple); identity when None."""
+    if not spec:
+        return (0.0, 0.0, 0.0), (1.0, 0.0, 0.0, 0.0)
+    vals = [float(v) for v in spec.replace(",", " ").split()]
+    if len(vals) == 3:
+        return tuple(vals), (1.0, 0.0, 0.0, 0.0)
+    if len(vals) == 7:
+        q = np.asarray(vals[3:], np.float64)
+        q = q / np.linalg.norm(q)
+        return tuple(vals[:3]), tuple(float(x) for x in q)
+    raise ValueError("--extrinsic expects 'x,y,z' or 'x,y,z,qw,qx,qy,qz'")
+
+
 def _build_config(args) -> SlamConfig:
+    ext_t, ext_q = _parse_extrinsic(getattr(args, "extrinsic", None))
     return SlamConfig(
+        laser_extrinsic_t=ext_t,
+        laser_extrinsic_q=ext_q,
         voxel_leaf_size=args.voxel,
         map_resolution=args.map_resolution,
         icp_odometry=IcpConfig(mode=args.icp_mode, max_iterations=10),
@@ -208,6 +251,15 @@ def main(argv=None) -> int:
     ap.add_argument("--max-keyframes", type=int, default=512)
     ap.add_argument("--verbosity", type=int, default=1)
     ap.add_argument(
+        "--extrinsic", type=str, default=None,
+        help="laser pose in the robot frame, 'x,y,z' or 'x,y,z,qw,qx,qy,qz'"
+        " — applied to every scan at ingest (tf laser->base_link)",
+    )
+    ap.add_argument(
+        "--rate", type=float, default=10.0,
+        help="synthetic scan rate in Hz (drives the synthetic timestamps)",
+    )
+    ap.add_argument(
         "--chunk", type=int, default=1,
         help="scans per device call (lax.scan chunking; 1 = step-by-step, "
         "the right choice on TPU — XLA copies the large carried map/"
@@ -236,7 +288,7 @@ def main(argv=None) -> int:
         gt = synthetic.make_loop_trajectory(n_poses=args.poses, radius=5.0, laps=1.25)
         scans = synthetic.scan_stream(
             world, gt, capacity=cfg.max_raw_points, max_range=12.0,
-            n_points=4000, noise=0.01,
+            n_points=4000, noise=0.01, rate_hz=args.rate,
         )
         init = se3.index(gt, 0)
     else:
@@ -245,7 +297,7 @@ def main(argv=None) -> int:
         # native prefetching loader when the C++ library is available
         scans = native_loader.scan_stream(
             args.kitti, args.seq, capacity=cfg.max_raw_points,
-            start=args.start, end=args.end,
+            start=args.start, end=args.end, with_stamps=True,
         )
         try:
             gt_all = kitti.ground_truth_velodyne(args.kitti, args.seq)

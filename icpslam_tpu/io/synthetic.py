@@ -174,8 +174,10 @@ def scan_stream(
     n_points: int = 2048,
     noise: float = 0.01,
     seed: int = 0,
-) -> Iterator[pc.PointCloud]:
-    """Yield padded sensor-frame scans along a trajectory."""
+    rate_hz: float = 0.0,
+):
+    """Yield padded sensor-frame scans along a trajectory; with
+    ``rate_hz > 0`` yields ``(cloud, stamp)`` pairs at that scan rate."""
     t = np.asarray(trajectory.t)
     q = np.asarray(trajectory.q)
     for i in range(t.shape[0]):
@@ -183,4 +185,5 @@ def scan_stream(
             world, t[i], q[i], max_range=max_range, n_points=n_points,
             noise=noise, seed=seed + i,
         )
-        yield pc.from_points(pts, capacity=capacity)
+        cloud = pc.from_points(pts, capacity=capacity)
+        yield (cloud, i / rate_hz) if rate_hz > 0 else cloud

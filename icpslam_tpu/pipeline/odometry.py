@@ -129,6 +129,17 @@ def odometry_step(
     icfg = config.icp_odometry
     plane = icfg.mode == "plane"
 
+    # sensor extrinsic: express the laser-frame scan in the robot frame
+    # before filtering — the reference's per-cloud tf2 transform
+    # (``icp_odometer.cpp:162-174``). Static identity check: the common
+    # identity-extrinsic case adds no ops to the compiled step.
+    if config.has_laser_extrinsic:
+        ext = Pose(
+            t=jnp.asarray(config.laser_extrinsic_t, raw_scan.points.dtype),
+            q=jnp.asarray(config.laser_extrinsic_q, raw_scan.points.dtype),
+        )
+        raw_scan = pc.transform(ext, raw_scan)
+
     filtered, num_voxels = voxel_downsample(
         raw_scan, config.voxel_leaf_size, config.max_points
     )

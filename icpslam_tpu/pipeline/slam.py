@@ -137,12 +137,16 @@ def _information(diag: tuple) -> jnp.ndarray:
 def _try_loop_closure(
     state: SlamState, new_idx: jnp.ndarray, new_pose_graph: Pose, config: SlamConfig
 ) -> Tuple[pg.EdgeSet, jnp.ndarray]:
-    """Propose + verify one loop closure for the newly added keyframe.
+    """Propose + verify loop closures for the newly added keyframe.
 
-    Proposal: nearest older keyframe (graph pose) within
-    ``loop_closure_radius`` with id gap ≥ ``loop_closure_min_id_gap``
-    (the reference's marker heuristic |id₁−id₂| > 2, ``icpslam.cpp:263``).
-    Verification: point-to-point ICP between the stored keyframe clouds.
+    Proposal: top-``loop_closure_candidates`` older keyframes (graph
+    poses) within ``loop_closure_radius``, id gap ≥
+    ``loop_closure_min_id_gap`` (the reference's marker heuristic
+    |id₁−id₂| > 2, ``icpslam.cpp:263``).
+    Verification per candidate: ICP between the stored keyframe clouds
+    (``loop_closure_icp_mode``: Kabsch or GICP plane mode), gated on
+    convergence, fitness, and a correspondence inlier-ratio consistency
+    check. Every candidate that survives contributes a loop edge.
     """
     store = state.keyframes
     K = store.capacity
@@ -152,34 +156,59 @@ def _try_loop_closure(
     d = jnp.linalg.norm(store.pose_graph.t - new_pose_graph.t[None, :], axis=-1)
     cand_mask = live & gap_ok
     d = jnp.where(cand_mask, d, jnp.inf)
-    cand = jnp.argmin(d).astype(jnp.int32)
-    has_cand = jnp.isfinite(d[cand]) & (d[cand] <= config.loop_closure_radius)
+    k = max(1, min(config.loop_closure_candidates, K))
+    neg_d, cands = jax.lax.top_k(-d, k)
+    cand_ok = jnp.isfinite(-neg_d) & (-neg_d <= config.loop_closure_radius)
+    any_cand = jnp.any(cand_ok)
+
+    icfg = dataclasses.replace(config.icp_mapping, mode=config.loop_closure_icp_mode)
+    plane = icfg.mode == "plane"
 
     def verify(_):
-        cand_cloud = pc.PointCloud(points=store.points[cand], mask=store.point_mask[cand])
         new_cloud = pc.PointCloud(
             points=store.points[new_idx], mask=store.point_mask[new_idx]
         )
-        # initial guess from current graph estimates
-        cand_pose = se3.index(store.pose_graph, cand)
-        init = se3.relative(cand_pose, new_pose_graph)
-        icfg = dataclasses.replace(config.icp_mapping, mode="point")
-        res = icp_ops.icp(new_cloud, cand_cloud, icfg, init=init)
-        ok = res.converged & (res.fitness < config.icp_mapping.fitness_threshold)
-        edges = pg.add_edge(
-            state.edges,
-            cand,
-            new_idx,
-            res.pose,
-            _information(config.loop_information),
-            enable=ok,
-        )
-        return edges, ok
+        new_covs = odo.compute_covariances(new_cloud, icfg) if plane else None
+        n_src = jnp.maximum(new_cloud.count(), 1).astype(jnp.float32)
+        edges = state.edges
+        any_ok = jnp.asarray(False)
+        for c in range(k):
+            cand = cands[c].astype(jnp.int32)
+            cand_cloud = pc.PointCloud(
+                points=store.points[cand], mask=store.point_mask[cand]
+            )
+            cand_covs = (
+                odo.compute_covariances(cand_cloud, icfg) if plane else None
+            )
+            # initial guess from current graph estimates
+            cand_pose = se3.index(store.pose_graph, cand)
+            init = se3.relative(cand_pose, new_pose_graph)
+            res = icp_ops.icp(
+                new_cloud, cand_cloud, icfg, init=init,
+                source_covs=new_covs, target_covs=cand_covs,
+            )
+            inlier_ratio = res.num_correspondences.astype(jnp.float32) / n_src
+            ok = (
+                cand_ok[c]
+                & res.converged
+                & (res.fitness < icfg.fitness_threshold)
+                & (inlier_ratio >= config.loop_closure_min_inlier_ratio)
+            )
+            edges = pg.add_edge(
+                edges,
+                cand,
+                new_idx,
+                res.pose,
+                _information(config.loop_information),
+                enable=ok,
+            )
+            any_ok = any_ok | ok
+        return edges, any_ok
 
     def no(_):
         return state.edges, jnp.asarray(False)
 
-    return jax.lax.cond(has_cand, verify, no, operand=None)
+    return jax.lax.cond(any_cand, verify, no, operand=None)
 
 
 def _optimize(state: SlamState, config: SlamConfig) -> Tuple[SlamState, jnp.ndarray]:
@@ -220,7 +249,10 @@ def _optimize(state: SlamState, config: SlamConfig) -> Tuple[SlamState, jnp.ndar
 
 
 def run_scans(
-    state: SlamState, scans: pc.PointCloud, config: SlamConfig
+    state: SlamState,
+    scans: pc.PointCloud,
+    config: SlamConfig,
+    stamps: jnp.ndarray | None = None,
 ) -> Tuple[SlamState, SlamOutput]:
     """Process a chunk of scans through the full pipeline in one device
     program (``lax.scan`` over ``slam_step``).
@@ -238,22 +270,37 @@ def run_scans(
     JAX's async dispatch overlap host and device instead.
     """
 
-    def f(st, scan):
-        return slam_step(st, scan, config)
+    if stamps is None:
+        def f(st, scan):
+            return slam_step(st, scan, config)
 
-    return jax.lax.scan(f, state, scans)
+        return jax.lax.scan(f, state, scans)
+
+    def f2(st, scan_stamp):
+        scan, stamp = scan_stamp
+        return slam_step(st, scan, config, stamp=stamp)
+
+    return jax.lax.scan(f2, state, (scans, stamps))
 
 
 def slam_step(
-    state: SlamState, raw_scan: pc.PointCloud, config: SlamConfig
+    state: SlamState,
+    raw_scan: pc.PointCloud,
+    config: SlamConfig,
+    stamp: jnp.ndarray | None = None,
 ) -> Tuple[SlamState, SlamOutput]:
     """Process one raw sensor-frame scan through the full pipeline.
 
-    Jit with ``static_argnums=(2,)``.
+    ``stamp`` is the scan's sensor timestamp in seconds (threaded into the
+    keyframe store and exports, ``keyframe.h:24``); when omitted the state
+    keeps a +1.0 scan counter. Jit with ``static_argnums=(2,)``.
     """
     # ---- 1. front-end odometry -------------------------------------------
     odom_state, oout = odo.odometry_step(state.odom, raw_scan, config)
-    state = state._replace(odom=odom_state, stamp=state.stamp + 1.0)
+    new_stamp = (
+        state.stamp + 1.0 if stamp is None else jnp.asarray(stamp, jnp.float32)
+    )
+    state = state._replace(odom=odom_state, stamp=new_stamp)
 
     # slam-level pose advances by the accepted odometry transform
     raw_pose = se3.normalize(se3.compose(state.slam_pose, oout.transform))

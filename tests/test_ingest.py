@@ -1,0 +1,182 @@
+"""Ingest-path tests: sensor extrinsics (laser→robot tf applied to every
+scan, ``/root/reference/src/icpslam/icp_odometer.cpp:162-174``) and real
+timestamps threaded through the pipeline (``keyframe.h:24``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icpslam_tpu.cloud import pointcloud as pc
+from icpslam_tpu.config import IcpConfig, tiny_config
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.io import synthetic
+from icpslam_tpu.pipeline import slam
+
+
+def cfg_with(**over):
+    base = dict(
+        voxel_leaf_size=0.3,
+        map_resolution=0.3,
+        icp_odometry=IcpConfig(mode="plane", max_iterations=10),
+        icp_mapping=IcpConfig(mode="point", max_iterations=20),
+        max_points=1024,
+        max_raw_points=2048,
+        max_map_points=16384,
+        max_keyframes=64,
+        max_edges=256,
+    )
+    base.update(over)
+    return tiny_config(**base)
+
+
+EXT_T = (0.4, -0.1, 0.3)
+EXT_Q_RAW = np.asarray([0.96, 0.0, 0.0, 0.28], np.float64)
+EXT_Q = tuple(float(x) for x in EXT_Q_RAW / np.linalg.norm(EXT_Q_RAW))
+
+
+def robot_frame_scans(cfg, n_poses=10, seed=0):
+    world = synthetic.make_room_world(seed=seed, n_points=12000)
+    gt = synthetic.make_loop_trajectory(n_poses=n_poses, radius=5.0, laps=0.5)
+    scans = list(
+        synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, max_range=12.0,
+            n_points=1200, noise=0.01, seed=seed,
+        )
+    )
+    return scans, gt
+
+
+def run_pipeline(cfg, scans, init):
+    step = jax.jit(slam.slam_step, static_argnums=(2,))
+    state = slam.init_state(cfg, initial_pose=init)
+    poses = []
+    for s in scans:
+        state, out = step(state, s, cfg)
+        poses.append(np.asarray(out.pose_map.t))
+    return state, np.stack(poses)
+
+
+class TestLaserExtrinsic:
+    def test_identity_extrinsic_is_free(self):
+        cfg = cfg_with()
+        assert not cfg.has_laser_extrinsic
+        cfg2 = cfg_with(laser_extrinsic_t=EXT_T, laser_extrinsic_q=EXT_Q)
+        assert cfg2.has_laser_extrinsic
+
+    def test_extrinsic_recovers_identity_trajectory(self):
+        """Scans expressed in a laser frame offset from the robot by a known
+        extrinsic, run with that extrinsic configured, must reproduce the
+        identity-extrinsic trajectory on the robot-frame scans."""
+        cfg_id = cfg_with()
+        scans, gt = robot_frame_scans(cfg_id)
+        init = se3.index(gt, 0)
+
+        # express every robot-frame scan in the laser frame: p_laser = E⁻¹ p_robot
+        ext = se3.Pose(
+            t=jnp.asarray(EXT_T, jnp.float32), q=jnp.asarray(EXT_Q, jnp.float32)
+        )
+        inv = se3.inverse(ext)
+        laser_scans = [pc.transform(inv, s) for s in scans]
+
+        cfg_ext = cfg_with(laser_extrinsic_t=EXT_T, laser_extrinsic_q=EXT_Q)
+        st_id, traj_id = run_pipeline(cfg_id, scans, init)
+        st_ext, traj_ext = run_pipeline(cfg_ext, laser_scans, init)
+
+        np.testing.assert_allclose(traj_id, traj_ext, atol=1e-3)
+        assert int(st_id.keyframes.count) == int(st_ext.keyframes.count)
+
+    def test_unconfigured_extrinsic_diverges(self):
+        """Guard against the silent-wrong-trajectory failure mode: feeding
+        laser-frame scans WITHOUT the extrinsic must produce a visibly
+        different trajectory (the bug VERDICT r1 flagged)."""
+        cfg_id = cfg_with()
+        scans, gt = robot_frame_scans(cfg_id, n_poses=8, seed=2)
+        init = se3.index(gt, 0)
+        ext = se3.Pose(
+            t=jnp.asarray(EXT_T, jnp.float32), q=jnp.asarray(EXT_Q, jnp.float32)
+        )
+        laser_scans = [pc.transform(se3.inverse(ext), s) for s in scans]
+        _, traj_good = run_pipeline(cfg_id, scans, init)
+        _, traj_bad = run_pipeline(cfg_id, laser_scans, init)
+        assert np.abs(traj_good - traj_bad).max() > 0.05
+
+
+class TestTimestamps:
+    def test_keyframe_stamps_follow_scan_stamps(self):
+        cfg = cfg_with()
+        scans, gt = robot_frame_scans(cfg, n_poses=8, seed=1)
+        stamps = 100.0 + np.arange(len(scans), dtype=np.float64) * 0.1
+
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        state = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        kf_stamps = []
+        for s, ts in zip(scans, stamps):
+            state, out = step(state, s, cfg, jnp.asarray(ts, jnp.float32))
+            if bool(out.new_keyframe):
+                kf_stamps.append(float(ts))
+        n = int(state.keyframes.count)
+        assert n == len(kf_stamps) > 0
+        np.testing.assert_allclose(
+            np.asarray(state.keyframes.stamp)[:n], kf_stamps, atol=1e-4
+        )
+
+    def test_counter_fallback_without_stamps(self):
+        cfg = cfg_with()
+        scans, gt = robot_frame_scans(cfg, n_poses=4, seed=3)
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        state = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        for s in scans:
+            state, _ = step(state, s, cfg)
+        assert float(state.stamp) == len(scans)
+
+    def test_run_scans_with_stamps_matches_step(self):
+        cfg = cfg_with()
+        scans, gt = robot_frame_scans(cfg, n_poses=6, seed=4)
+        stamps = np.arange(len(scans), dtype=np.float32) * 0.25 + 7.0
+
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        st1 = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        for s, ts in zip(scans, stamps):
+            st1, _ = step(st1, s, cfg, jnp.asarray(ts))
+
+        runf = jax.jit(slam.run_scans, static_argnums=(2,))
+        st2 = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        batch = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *scans)
+        st2, _ = runf(st2, batch, cfg, jnp.asarray(stamps))
+
+        n = int(st1.keyframes.count)
+        assert n == int(st2.keyframes.count)
+        np.testing.assert_allclose(
+            np.asarray(st1.keyframes.stamp)[:n],
+            np.asarray(st2.keyframes.stamp)[:n],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(float(st1.stamp), float(st2.stamp), atol=1e-5)
+
+
+class TestRunnerStampedStream:
+    def test_stamped_tuples_accepted(self):
+        from icpslam_tpu.io import runner as rn
+
+        cfg = cfg_with()
+        scans, gt = robot_frame_scans(cfg, n_poses=7, seed=5)
+        stamped = [(s, 50.0 + 0.1 * i) for i, s in enumerate(scans)]
+        r1 = rn.run_slam(stamped, cfg, initial_pose=se3.index(gt, 0))
+        r3 = rn.run_slam(stamped, cfg, initial_pose=se3.index(gt, 0), chunk=3)
+        assert len(r1.per_scan) == len(r3.per_scan) == 7
+        np.testing.assert_allclose(
+            np.asarray(r1.trajectory.t), np.asarray(r3.trajectory.t), atol=1e-5
+        )
+        assert abs(float(r1.state.stamp) - 50.6) < 1e-4
+        # padded tail must not advance the stamp past the stream
+        assert abs(float(r3.state.stamp) - 50.6) < 1e-4
+
+    def test_parse_extrinsic(self):
+        from icpslam_tpu.io.runner import _parse_extrinsic
+
+        t, q = _parse_extrinsic(None)
+        assert t == (0.0, 0.0, 0.0) and q == (1.0, 0.0, 0.0, 0.0)
+        t, q = _parse_extrinsic("1,2,3")
+        assert t == (1.0, 2.0, 3.0)
+        t, q = _parse_extrinsic("0,0,0,1,0,0,1")
+        np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-6)

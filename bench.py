@@ -33,7 +33,32 @@ import sys
 import time
 
 
-REFERENCE_SCANS_PER_SEC = 10.0  # documented estimate for PCL GICP, see above
+REFERENCE_SCANS_PER_SEC = 10.0  # documented fallback estimate, see above
+
+
+def measure_reference(timeout_s: float = 120.0):
+    """Measured reference denominator: build + run the C++ kd-tree GICP
+    micro-harness (``native/gicp_ref.cpp``) at matched sizes — the
+    reference's PCL front-end operating point on this machine's CPU.
+    Returns scans/s, or None if the toolchain/binary is unavailable."""
+    import os
+    import subprocess
+
+    native = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+    binary = os.path.join(native, "gicp_ref")
+    try:
+        if not os.path.exists(binary):
+            subprocess.run(
+                ["make", "-C", native, "gicp_ref"],
+                check=True, capture_output=True, timeout=timeout_s,
+            )
+        out = subprocess.run(
+            [binary, "8192", "10"], check=True, capture_output=True,
+            timeout=timeout_s, text=True,
+        ).stdout
+        return float(json.loads(out.splitlines()[-1])["value"])
+    except Exception:
+        return None
 
 
 def _make_stream(jax, cfg, n_scans, warmup):
@@ -159,6 +184,65 @@ def bench_graph_solvers(jax, np):
     return out_ms
 
 
+def bench_stages(jax, np, cfg, scans, gt):
+    """Per-stage device timings at headline shapes (SURVEY §5.1): each
+    pipeline stage jitted separately and timed over varied inputs, so
+    perf regressions are attributable to a stage. Stage sums exceed the
+    fused step time (the full step overlaps/fuses across stages)."""
+    import jax.numpy as jnp
+
+    from icpslam_tpu.cloud.voxel import voxel_downsample
+    from icpslam_tpu.geometry import se3
+    from icpslam_tpu.mapping import backend as map_backend
+    from icpslam_tpu.mapping import scan_to_map
+    from icpslam_tpu.ops import icp as icp_ops
+    from icpslam_tpu.pipeline import odometry as odo
+
+    icfg = cfg.icp_odometry
+    out = {}
+
+    def timeit(name, f, inputs, n=10):
+        outs = f(inputs[0])
+        jax.block_until_ready(outs)
+        t0 = time.perf_counter()
+        for i in range(n):
+            outs = f(inputs[i % len(inputs)])
+        jax.block_until_ready(outs)
+        out[name] = (time.perf_counter() - t0) / n * 1000.0
+
+    vox = jax.jit(lambda s: voxel_downsample(s, cfg.voxel_leaf_size, cfg.max_points))
+    timeit("voxel_filter", vox, scans)
+
+    filtered = [vox(s)[0] for s in scans[:4]]
+    cov = jax.jit(lambda c: odo.compute_covariances(c, icfg))
+    timeit("covariances", cov, filtered)
+
+    covs = [cov(c) for c in filtered]
+    reg = jax.jit(
+        lambda args: icp_ops.icp(
+            args[0], args[1], icfg, source_covs=args[2], target_covs=args[3]
+        )
+    )
+    pairs = [
+        (filtered[i], filtered[i + 1], covs[i], covs[i + 1])
+        for i in range(len(filtered) - 1)
+    ]
+    timeit("icp_odometry", reg, pairs)
+
+    # scan-to-map at a representative fill: grow a map from the stream,
+    # then time refine_and_grow against it
+    refine = jax.jit(
+        lambda args: scan_to_map.refine_and_grow(args[0], args[1], args[2], cfg)
+    )
+    st = map_backend.empty(cfg)
+    rargs = []
+    for i, c in enumerate(filtered):
+        rargs.append((st, c, se3.index(gt, i)))
+        st = refine(rargs[-1]).map
+    timeit("scan_to_map_refine", refine, rargs[1:], n=6)
+    return out
+
+
 def verify_kernels(jax, np):
     """On-device Pallas-vs-XLA NN correctness check (VERDICT r1 item 10):
     same correspondences/distances from the fused Pallas kernel and the
@@ -197,6 +281,8 @@ def main() -> int:
                     help="disable SlamState buffer donation in the headline")
     ap.add_argument("--suite", action="store_true",
                     help="also report odometry + graph-solve metrics (stderr)")
+    ap.add_argument("--stages", action="store_true",
+                    help="also report per-stage device timings (stderr)")
     ap.add_argument("--verify-kernels", action="store_true",
                     help="diff Pallas vs XLA NN on this device (stderr)")
     args = ap.parse_args()
@@ -239,13 +325,38 @@ def main() -> int:
                               "error": "kernel verification failed"}))
             return 1
 
-    sps = bench_full_slam(jax, cfg, scans, gt, donate=not args.no_donate)
+    donate = not args.no_donate
+    if donate:
+        try:
+            sps = bench_full_slam(jax, cfg, scans, gt, donate=True)
+        except Exception as e:  # tunneled-TPU backend rejects SlamState aliasing
+            print(f"# donation failed ({type(e).__name__}); rerunning without",
+                  file=sys.stderr)
+            donate = False
+    if not donate:
+        sps = bench_full_slam(jax, cfg, scans, gt, donate=False)
+
+    ref_sps = measure_reference()
+    baseline = ref_sps if ref_sps else REFERENCE_SCANS_PER_SEC
     result = {
         "metric": "full_slam_step_scans_per_sec",
         "value": round(sps, 3),
         "unit": "scans/s (voxel+GICP odometry+scan-to-map+keyframes+graph)",
-        "vs_baseline": round(sps / REFERENCE_SCANS_PER_SEC, 3),
+        "vs_baseline": round(sps / baseline, 3),
+        "baseline_scans_per_sec": round(baseline, 3),
+        "baseline_source": (
+            "measured (native/gicp_ref.cpp, 1-thread C++ kd-tree GICP)"
+            if ref_sps else "estimate (toolchain unavailable)"
+        ),
     }
+
+    if args.stages:
+        for stage, ms in bench_stages(jax, np, cfg, scans, gt).items():
+            print(
+                json.dumps({"metric": f"stage_ms_{stage}",
+                            "value": round(ms, 3), "unit": "ms/scan"}),
+                file=sys.stderr,
+            )
 
     if args.suite:
         odo_sps = bench_odometry(jax, cfg, scans, gt, n_warm)

@@ -64,7 +64,10 @@ _PACK_BITS = (11, 11, 10)
 # single valid bit pattern that would collide (rel cell 1023/2047/1023)
 # is remapped to its −z neighbor below — one more fringe-merge cell on
 # top of the clamping caveat.
-_INVALID_KEY = jnp.int32(2**31 - 1)
+# plain Python int (NOT a jnp scalar): a module-level device array would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in multi-process runs (it must run first)
+_INVALID_KEY = 2**31 - 1
 
 
 def _packed_keys(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

@@ -103,6 +103,11 @@ class SlamConfig:
     # AND more accurate than the reference's approx octree descent on TPU)
     # 'voxel': sorted voxel hash with 3^3-neighborhood approx lookups
     map_backend: str = "point"
+    # ablation / odometry-only mode: skip scan-to-map refinement entirely
+    # (the reference's refine call, icpslam.cpp:135). The map stays empty
+    # in this mode (refinement is its only growth path); checkpoint
+    # re-rendering from keyframes still reconstructs one.
+    enable_scan_to_map: bool = True
 
     # --- keyframes & graph (icpslam.h:36-37, icpslam.yaml:20-23) ---
     keyframe_distance: float = 0.3    # KFS_DIST_THRESH, icpslam.h:36
@@ -171,6 +176,43 @@ class SlamConfig:
         return self.laser_extrinsic_t != (0.0, 0.0, 0.0) or self.laser_extrinsic_q != (
             1.0, 0.0, 0.0, 0.0,
         )
+
+
+def kitti_config(**overrides) -> SlamConfig:
+    """Velodyne/urban-scale operating point (KITTI and the KITTI-proxy
+    synthetic sequence). The reference's room-scale yaml defaults don't
+    transfer to 80 m-range scans — this promotes the velodyne guidance it
+    does give (``config/icpslam.yaml:13`` '20 for velodyne' cloud
+    skipping becomes unnecessary here: the TPU pipeline keeps up at 10 Hz)
+    and scales the geometric knobs to urban motion:
+
+    - voxel leaf 0.4 m (KITTI-typical downsample, ~8-16k pts/scan)
+    - correspondence distance 2.0 m (inter-scan motion ~0.8-3 m)
+    - keyframe gate 2.0 m, loop radius 15 m with a wide id gap
+    - capacities sized for 80 m range urban scans
+    """
+    cfg = SlamConfig(
+        voxel_leaf_size=0.4,
+        map_resolution=0.4,
+        icp_odometry=IcpConfig(
+            mode="plane", max_iterations=10,
+            max_correspondence_distance=2.0, huber_delta=1.0,
+        ),
+        icp_mapping=IcpConfig(
+            mode="plane", max_iterations=30,
+            max_correspondence_distance=2.0, huber_delta=1.0,
+        ),
+        keyframe_distance=2.0,
+        loop_closure_radius=15.0,
+        loop_closure_min_id_gap=20,
+        loop_closure_candidates=2,
+        max_points=8192,
+        max_raw_points=131072,
+        max_map_points=262144,
+        max_keyframes=512,
+        max_edges=2048,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
 
 
 def tiny_config(**overrides) -> SlamConfig:

@@ -434,7 +434,19 @@ def optimize(
             res = schur_mod.schur_solve(
                 Hd, -b, sm, schur_chunk_size, schur_sep_capacity
             )
-            delta = res.delta * node_mask[:, None]
+
+            # separator overflow (loop-dense graph) → fall back to the
+            # direct dense factorization of the same damped system instead
+            # of silently degrading (VERDICT r1: honor SchurResult.ok)
+            def direct_delta(_):
+                Hm = Hd.reshape(K * 6, K * 6)
+                chol = jax.scipy.linalg.cho_factor(Hm, lower=True)
+                return jax.scipy.linalg.cho_solve(chol, -b.reshape(K * 6)).reshape(K, 6)
+
+            delta = jax.lax.cond(
+                res.ok, lambda _: res.delta, direct_delta, operand=None
+            )
+            delta = delta * node_mask[:, None]
             return se3.normalize(se3.compose(nodes, se3.se3_exp(delta)))
         new, _ = _solve_and_update(nodes, H, b, lam, node_mask)
         return new

@@ -60,6 +60,40 @@ def separator_mask(
     return m
 
 
+def chunk_eliminate(Ac, bc, ec):
+    """Eliminate the masked (interior) rows of one chunk-diagonal block.
+
+    ``Ac``: (n, n) chunk matrix, ``bc``: (n,) rhs, ``ec``: (n,) bool mask
+    of eliminated rows. The interior block is inverted behind an
+    identity-padded mask so no dynamic compaction is needed. Returns the
+    local Schur complement onto the kept rows, the reduced rhs, and the
+    factors needed for back-substitution. Shared by the single-device
+    vmapped solver below and the shard_map distributed solver
+    (``parallel/dist_graph._sharded_schur_delta``).
+    """
+    e_r = ec[:, None]
+    e_c = ec[None, :]
+    # interior system behind an identity-padded mask
+    M = jnp.where(e_r & e_c, Ac, 0.0) + jnp.diag((~ec).astype(Ac.dtype))
+    Minv = jnp.linalg.inv(M)
+    A_se = jnp.where((~e_r) & e_c, Ac, 0.0)   # kept rows, elim cols
+    A_es = jnp.where(e_r & (~e_c), Ac, 0.0)   # elim rows, kept cols
+    A_ss = jnp.where((~e_r) & (~e_c), Ac, 0.0)
+    T = Minv @ A_es                            # (n, n)
+    Sc = A_ss - A_se @ T                       # Schur onto kept rows
+    be = jnp.where(ec, bc, 0.0)
+    bs = jnp.where(~ec, bc, 0.0) - A_se @ (Minv @ be)
+    return Sc, bs, Minv, A_es
+
+
+def back_substitute(Minv_c, A_es_c, bc, ec, ds):
+    """Recover the eliminated rows of one chunk given the kept solution
+    ``ds`` scattered into the chunk layout."""
+    be = jnp.where(ec, bc, 0.0)
+    rhs = be - jnp.where(ec, A_es_c @ ds, 0.0)
+    return Minv_c @ rhs
+
+
 def schur_solve(
     H: jnp.ndarray,       # (K, 6, K, 6) regularized, PD
     b: jnp.ndarray,       # (K, 6)
@@ -93,21 +127,6 @@ def schur_solve(
     b_c = b.reshape(D, n)
     elim_c = jnp.repeat(elim.reshape(D, chunk_size), 6, axis=1)  # (D, n)
 
-    def chunk_eliminate(Ac, bc, ec):
-        e_r = ec[:, None]
-        e_c = ec[None, :]
-        # interior system behind an identity-padded mask
-        M = jnp.where(e_r & e_c, Ac, 0.0) + jnp.diag((~ec).astype(Ac.dtype))
-        Minv = jnp.linalg.inv(M)
-        A_se = jnp.where((~e_r) & e_c, Ac, 0.0)   # kept rows, elim cols
-        A_es = jnp.where(e_r & (~e_c), Ac, 0.0)   # elim rows, kept cols
-        A_ss = jnp.where((~e_r) & (~e_c), Ac, 0.0)
-        T = Minv @ A_es                            # (n, n)
-        Sc = A_ss - A_se @ T                       # Schur onto kept rows
-        be = jnp.where(ec, bc, 0.0)
-        bs = jnp.where(~ec, bc, 0.0) - A_se @ (Minv @ be)
-        return Sc, bs, Minv, A_es
-
     Sc, bs, Minv, A_es = jax.vmap(chunk_eliminate)(A, b_c, elim_c)
 
     # reduced system over the keep-set: blockdiag(Sc) + cross couplings
@@ -129,11 +148,6 @@ def schur_solve(
     delta = jnp.zeros((K, 6), b.dtype).at[sep_idx].set(x_s)
     delta_c = delta.reshape(D, n)
 
-    def back_sub(Minv_c, A_es_c, bc, ec, ds):
-        be = jnp.where(ec, bc, 0.0)
-        rhs = be - jnp.where(ec, A_es_c @ ds, 0.0)
-        return Minv_c @ rhs
-
-    x_e = jax.vmap(back_sub)(Minv, A_es, b_c, elim_c, delta_c)  # (D, n)
+    x_e = jax.vmap(back_substitute)(Minv, A_es, b_c, elim_c, delta_c)  # (D, n)
     delta_c = jnp.where(elim_c, x_e, delta_c)
     return SchurResult(delta=delta_c.reshape(K, 6), ok=ok, n_sep=n_sep)

@@ -37,6 +37,22 @@ class RunResult:
     per_scan: List[dict]       # structured metrics per scan
     state: slam.SlamState
     wall_time: float
+    step_ms: List[float] = dataclasses.field(default_factory=list)
+    # per-scan device+sync wall time (chunked: flush time / live scans)
+
+    def timing_summary(self) -> dict:
+        """Percentile step-time stats for the run summary (SURVEY §5.1:
+        per-scan timing; lets perf regressions be localized per run)."""
+        if not self.step_ms:
+            return {}
+        a = np.sort(np.asarray(self.step_ms, np.float64))
+        pick = lambda p: float(a[min(len(a) - 1, int(p * len(a)))])
+        return {
+            "step_ms_mean": round(float(a.mean()), 3),
+            "step_ms_p50": round(pick(0.50), 3),
+            "step_ms_p95": round(pick(0.95), 3),
+            "step_ms_max": round(float(a[-1]), 3),
+        }
 
 
 def _records_from_chunk(out: slam.SlamOutput, base: int, live: int) -> List[dict]:
@@ -96,6 +112,7 @@ def run_slam(
     state = slam.init_state(config, initial_pose)
     poses = []
     per_scan = []
+    step_ms: List[float] = []
     t0 = time.perf_counter()
 
     def split(item):
@@ -121,8 +138,10 @@ def run_slam(
             stamps = (
                 jax.numpy.asarray(stamp_buf, jax.numpy.float32) if stamped else None
             )
+            tf0 = time.perf_counter()
             state, outs = run(state, _stack_clouds(buf), config, stamps)
-            recs = _records_from_chunk(outs, done, live)
+            recs = _records_from_chunk(outs, done, live)  # syncs on outputs
+            step_ms.extend([(time.perf_counter() - tf0) * 1000.0 / live] * live)
             per_scan.extend(recs)
             poses.append(
                 Pose(t=outs.pose_map.t[:live], q=outs.pose_map.q[:live])
@@ -156,12 +175,14 @@ def run_slam(
             else se3.identity((0,))
         )
         return RunResult(
-            trajectory=traj, per_scan=per_scan, state=state, wall_time=wall
+            trajectory=traj, per_scan=per_scan, state=state, wall_time=wall,
+            step_ms=step_ms,
         )
 
     step = jax.jit(slam.slam_step, static_argnums=(2,))
     for i, item in enumerate(scans):
         scan, stamp = split(item)
+        ts0 = time.perf_counter()
         if stamp is None:
             state, out = step(state, scan, config)
         else:
@@ -182,7 +203,8 @@ def run_slam(
             "map_size": int(out.map_size),
             "num_keyframes": int(out.num_keyframes),
         }
-        per_scan.append(rec)
+        per_scan.append(rec)  # building rec syncs on the outputs
+        step_ms.append((time.perf_counter() - ts0) * 1000.0)
         log.debug(f"scan {i}: {rec}")
         if rec["optimized"]:
             log.info(
@@ -191,7 +213,8 @@ def run_slam(
             )
     wall = time.perf_counter() - t0
     return RunResult(
-        trajectory=se3.stack(poses), per_scan=per_scan, state=state, wall_time=wall
+        trajectory=se3.stack(poses), per_scan=per_scan, state=state,
+        wall_time=wall, step_ms=step_ms,
     )
 
 
@@ -234,6 +257,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--synthetic", action="store_true")
+    src.add_argument(
+        "--kitti-proxy", action="store_true",
+        help="synthetic KITTI-scale urban sequence: 64-beam occlusion-"
+        "correct velodyne scans over a city-block world, 10 Hz drive "
+        "(uses the kitti_config operating point)",
+    )
     src.add_argument("--kitti", type=str, help="KITTI odometry root")
     ap.add_argument("--seq", type=str, default="04")
     ap.add_argument("--poses", type=int, default=40, help="synthetic trajectory length")
@@ -268,6 +297,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None, help="write trajectory .npz")
     ap.add_argument(
+        "--summary-out", type=str, default=None,
+        help="also write the summary JSON (incl. ATE/RPE) to this file",
+    )
+    ap.add_argument(
         "--html", type=str, default=None,
         help="write a standalone interactive viewer (map + trajectories + "
         "pose graph) to this HTML file",
@@ -277,11 +310,35 @@ def main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    cfg = _build_config(args)
+    if args.kitti_proxy:
+        from icpslam_tpu.config import kitti_config
+
+        ext_t, ext_q = _parse_extrinsic(args.extrinsic)
+        cfg = kitti_config(
+            num_clouds_skip=args.skip,
+            verbosity=args.verbosity,
+            laser_extrinsic_t=ext_t,
+            laser_extrinsic_q=ext_q,
+            max_raw_points=args.max_raw_points,
+            max_map_points=args.max_map_points,
+            max_keyframes=args.max_keyframes,
+            max_edges=args.max_keyframes * 4,
+        )
+    else:
+        cfg = _build_config(args)
     log = Logger(level=args.verbosity)
     gt = None
 
-    if args.synthetic:
+    if args.kitti_proxy:
+        from icpslam_tpu.io import synthetic
+
+        world = synthetic.make_urban_world(seed=0)
+        gt = synthetic.make_urban_drive(n_poses=args.poses, rate_hz=args.rate)
+        scans = synthetic.velodyne_stream(
+            world, gt, capacity=cfg.max_raw_points, rate_hz=args.rate,
+        )
+        init = se3.index(gt, 0)
+    elif args.synthetic:
         from icpslam_tpu.io import synthetic
 
         world = synthetic.make_room_world(seed=0, n_points=40000)
@@ -321,6 +378,7 @@ def main(argv=None) -> int:
         "optimizations": int(res.state.num_optimizations),
         "map_size": int(res.state.map.size),
         "map_overflow": int(res.state.map.overflow),
+        **res.timing_summary(),
     }
     if gt is not None and gt.t.shape[0] == n:
         ate_rmse, _ = metrics.ate(res.trajectory, gt, align=True)
@@ -329,6 +387,21 @@ def main(argv=None) -> int:
             ate_m=round(ate_rmse, 4), rpe_t=round(t_rpe, 4), rpe_r=round(r_rpe, 5)
         )
     print(json.dumps(summary))
+    if args.summary_out:
+        with open(args.summary_out, "w") as f:
+            json.dump(
+                {
+                    **summary,
+                    "workload": (
+                        "kitti_proxy" if args.kitti_proxy
+                        else ("synthetic" if args.synthetic else f"kitti_{args.seq}")
+                    ),
+                    "poses": args.poses,
+                    "backend": jax.default_backend(),
+                },
+                f, indent=1,
+            )
+        log.info(f"wrote summary to {args.summary_out}")
 
     if args.out:
         np.savez(

@@ -12,7 +12,7 @@ jitted pipeline as padded ``PointCloud``s.
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -101,6 +101,201 @@ def make_street_grid_world(
             ]
             parts.extend(walls)
     return np.concatenate(parts).astype(np.float32)
+
+
+def make_urban_world(
+    seed: int = 0,
+    blocks: int = 3,
+    block_size: float = 80.0,
+    street_width: float = 18.0,
+    height: float = 12.0,
+    ground_density: float = 3.0,
+    wall_density: float = 9.0,
+    n_poles: int = 200,
+) -> np.ndarray:
+    """KITTI-proxy urban world: a grid of city blocks at velodyne scale
+    (default ~310 m extent) — ground plane, building facades of varying
+    heights, and pole-like verticals (lamp posts / trunks) that break the
+    planar degeneracy. Densities are points per m² (surfaces must be dense
+    enough for the 64-beam z-buffer renderer to see solid walls).
+
+    This is the VERDICT r1 workload stand-in for KITTI (no dataset on the
+    machine): urban extent, occlusions, long straight streets + corners.
+    """
+    rng = np.random.RandomState(seed)
+    pitch = block_size + street_width
+    extent = blocks * pitch + street_width
+    parts = []
+    # ground
+    n_ground = int(extent * extent * ground_density)
+    parts.append(
+        np.c_[rng.uniform(0, extent, (n_ground, 2)), np.zeros(n_ground)]
+    )
+    # building facades with per-block random heights; slight facade
+    # roughness so plane-mode ICP sees realistic normals
+    for bx in range(blocks):
+        for by in range(blocks):
+            x0 = street_width + bx * pitch
+            y0 = street_width + by * pitch
+            x1, y1 = x0 + block_size, y0 + block_size
+            h = rng.uniform(0.5, 1.0) * height
+            n_wall = int(block_size * h * wall_density)
+            rough = lambda n: rng.randn(n).astype(np.float64) * 0.03
+            walls = [
+                np.c_[rng.uniform(x0, x1, n_wall), np.full(n_wall, y0) + rough(n_wall),
+                      rng.uniform(0, h, n_wall)],
+                np.c_[rng.uniform(x0, x1, n_wall), np.full(n_wall, y1) + rough(n_wall),
+                      rng.uniform(0, h, n_wall)],
+                np.c_[np.full(n_wall, x0) + rough(n_wall), rng.uniform(y0, y1, n_wall),
+                      rng.uniform(0, h, n_wall)],
+                np.c_[np.full(n_wall, x1) + rough(n_wall), rng.uniform(y0, y1, n_wall),
+                      rng.uniform(0, h, n_wall)],
+            ]
+            parts.extend(walls)
+    # poles along the streets
+    pts_per_pole = 150
+    px = rng.uniform(0, extent, n_poles)
+    py = rng.uniform(0, extent, n_poles)
+    for i in range(n_poles):
+        z = rng.uniform(0, 5.0, pts_per_pole)
+        th = rng.uniform(0, 2 * np.pi, pts_per_pole)
+        parts.append(
+            np.c_[px[i] + 0.15 * np.cos(th), py[i] + 0.15 * np.sin(th), z]
+        )
+    return np.concatenate(parts).astype(np.float32)
+
+
+def make_urban_drive(
+    n_poses: int = 500,
+    blocks: int = 3,
+    block_size: float = 80.0,
+    street_width: float = 18.0,
+    speed: float = 8.0,
+    rate_hz: float = 10.0,
+    z: float = 1.7,
+    lap_margin: float = 0.0,
+) -> se3.Pose:
+    """10 Hz urban drive around the first city block — long straights,
+    90° corners, and a loop closure when the route returns to the start.
+    ``speed`` m/s at ``rate_hz`` scans/s (KITTI-like ~0.8 m between
+    scans). The route loops as many times as ``n_poses`` requires."""
+    pitch = block_size + street_width
+    half = street_width / 2.0
+    # rectangle around the first block, driving down the street centers
+    c0 = half
+    c1 = street_width + block_size + half
+    corners = np.array(
+        [[c0, c0], [c1, c0], [c1, c1], [c0, c1]], np.float64
+    )
+    # waypoints along the rectangle edges
+    step = speed / rate_hz
+    pts = []
+    yaws = []
+    i = 0
+    while len(pts) < n_poses:
+        a = corners[i % 4]
+        b = corners[(i + 1) % 4]
+        seg = b - a
+        seg_len = np.linalg.norm(seg)
+        direction = seg / seg_len
+        n_seg = int(seg_len / step)
+        for k in range(n_seg):
+            if len(pts) >= n_poses:
+                break
+            p = a + direction * (k * step)
+            pts.append([p[0], p[1], z])
+            yaws.append(np.arctan2(direction[1], direction[0]))
+        i += 1
+    pos = np.asarray(pts, np.float64)
+    yaw = np.asarray(yaws, np.float64)
+    q = np.stack(
+        [np.cos(yaw / 2), np.zeros_like(yaw), np.zeros_like(yaw), np.sin(yaw / 2)],
+        axis=-1,
+    )
+    return se3.Pose(t=jnp.asarray(pos, jnp.float32), q=jnp.asarray(q, jnp.float32))
+
+
+def render_velodyne_scan(
+    world: np.ndarray,
+    pose_t: np.ndarray,
+    pose_q: np.ndarray,
+    n_beams: int = 64,
+    azimuth_bins: int = 2048,
+    elevation_range: Tuple[float, float] = (-24.8, 2.0),
+    max_range: float = 80.0,
+    min_range: float = 2.5,
+    noise: float = 0.02,
+    seed: int = 0,
+    max_points: Optional[int] = None,
+) -> np.ndarray:
+    """Simulate a 64-beam spinning lidar with occlusion: world points are
+    projected into (elevation-beam, azimuth) bins in the sensor frame and
+    only the NEAREST return per bin survives (a spherical z-buffer). This
+    reproduces the velodyne scan structure the reference targets
+    (``/root/reference/config/icpslam.yaml:13`` '20 for velodyne') —
+    occluded facades genuinely disappear, beam density falls off with
+    range. Range noise is Gaussian along the ray. Returns (n, 3) float32
+    in the sensor frame.
+    """
+    rng = np.random.RandomState(seed)
+    # world → sensor frame
+    inv = se3.inverse(
+        se3.Pose(t=jnp.asarray(pose_t, jnp.float32), q=jnp.asarray(pose_q, jnp.float32))
+    )
+    d = np.linalg.norm(world - np.asarray(pose_t, np.float32)[None, :], axis=-1)
+    near = world[(d <= max_range) & (d >= min_range * 0.5)]
+    local = np.asarray(se3.transform_points(inv, jnp.asarray(near, jnp.float32)))
+
+    r = np.linalg.norm(local, axis=-1)
+    keep = (r >= min_range) & (r <= max_range)
+    local, r = local[keep], r[keep]
+    az = np.arctan2(local[:, 1], local[:, 0])  # [-pi, pi)
+    el = np.degrees(np.arcsin(np.clip(local[:, 2] / np.maximum(r, 1e-9), -1, 1)))
+
+    lo, hi = elevation_range
+    beam = np.floor((el - lo) / (hi - lo) * n_beams).astype(np.int64)
+    in_fov = (beam >= 0) & (beam < n_beams)
+    abin = np.floor((az + np.pi) / (2 * np.pi) * azimuth_bins).astype(np.int64)
+    abin = np.clip(abin, 0, azimuth_bins - 1)
+
+    local, r, beam, abin = local[in_fov], r[in_fov], beam[in_fov], abin[in_fov]
+    cell = beam * azimuth_bins + abin
+    # z-buffer: nearest return per cell
+    order = np.lexsort((r, cell))
+    cell_sorted = cell[order]
+    first = np.ones(cell_sorted.shape[0], bool)
+    first[1:] = cell_sorted[1:] != cell_sorted[:-1]
+    hits = local[order][first]
+    rr = r[order][first]
+
+    if noise:
+        # range noise along the ray direction
+        scale = 1.0 + rng.randn(hits.shape[0]).astype(np.float32) * noise / np.maximum(rr, 1e-6)
+        hits = hits * scale[:, None]
+    if max_points is not None and hits.shape[0] > max_points:
+        sel = rng.choice(hits.shape[0], max_points, replace=False)
+        hits = hits[sel]
+    return hits.astype(np.float32)
+
+
+def velodyne_stream(
+    world: np.ndarray,
+    trajectory: se3.Pose,
+    capacity: int,
+    rate_hz: float = 10.0,
+    seed: int = 0,
+    with_stamps: bool = True,
+    **render_kw,
+):
+    """Yield 64-beam scans (with 10 Hz stamps) along a trajectory."""
+    t = np.asarray(trajectory.t)
+    q = np.asarray(trajectory.q)
+    for i in range(t.shape[0]):
+        pts = render_velodyne_scan(
+            world, t[i], q[i], seed=seed + i, max_points=capacity, **render_kw
+        )
+        cloud = pc.from_points(pts, capacity=capacity)
+        yield (cloud, i / rate_hz) if with_stamps else cloud
 
 
 def make_figure_eight_trajectory(

@@ -5,9 +5,15 @@ The reference's back-end is one sequential g2o solve
 — per-edge residual/Jacobian evaluation and block scatter-assembly — is
 sharded across devices by *edge* (each device owns E/D edges), and the
 partial normal equations are reduced with ``psum`` over ICI inside
-``shard_map``. The regularized solve then runs replicated on every device
-(the 6K×6K factorization is cheap relative to edge work for keyframe-scale
-graphs; a Schur-complement block split is the planned next stage).
+``shard_map``. Three linear solvers on top:
+
+- ``direct``: replicated dense 6K×6K Cholesky (cheap for keyframe scale)
+- ``pcg``: fully distributed matrix-free CG (edge-sharded matvecs + psum)
+- ``schur``: distributed Schur complement — node chunks map to devices
+  (chunk ↔ device), each device eliminates its chunk's interior nodes
+  locally inside ``shard_map``, the small separator system is solved
+  replicated (one ``all_gather`` of the per-chunk Schur contributions),
+  and back-substitution runs locally (BASELINE.md config 5).
 
 Numerically identical to the single-device solver — asserted by tests on
 an 8-virtual-device CPU mesh.
@@ -148,6 +154,137 @@ def _sharded_pcg_step(
     return se3.normalize(se3.compose(nodes, se3.se3_exp(delta)))
 
 
+def _sharded_schur_delta(
+    Hd: jnp.ndarray,        # (K, 6, K, 6) regularized + damped, PD
+    b: jnp.ndarray,         # (K, 6) rhs (already negated as needed)
+    sep_mask: jnp.ndarray,  # (K,) bool from schur.separator_mask
+    mesh: Mesh,
+    axis: str = "dp",
+    sep_capacity: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed Schur solve of ``Hd x = b``: chunk ↔ device.
+
+    Each device eliminates the interior nodes of its own K/D-node chunk
+    (one masked dense inversion, ``schur.chunk_eliminate``), the per-chunk
+    Schur contributions are ``all_gather``ed once, every device solves the
+    small (6S)² separator system replicated, and back-substitution is
+    local. Exactness-preserving padding as in ``graph/schur.py``; returns
+    ``(delta (K,6), ok)`` where ``ok`` is False iff the true separator
+    count exceeds ``sep_capacity``.
+    """
+    from icpslam_tpu.graph import schur as schur_mod
+
+    K = b.shape[0]
+    D = mesh.shape[axis]
+    if K % D:
+        raise ValueError(f"node capacity {K} must divide the mesh axis {D}")
+    chunk = K // D
+    n = 6 * chunk
+    S = sep_capacity
+
+    n_sep = jnp.sum(sep_mask.astype(jnp.int32))
+    ok = n_sep <= S
+    order = jnp.argsort(~sep_mask, stable=True)
+    sep_idx = order[:S]
+    rank = jnp.zeros((K,), jnp.int32).at[order].set(jnp.arange(K, dtype=jnp.int32))
+    elim = rank >= S
+
+    H6 = Hd.reshape(D, chunk, 6, D, chunk, 6)
+    dd = jnp.arange(D)
+    A = H6[dd, :, :, dd, :, :].reshape(D, n, n)
+    b_c = b.reshape(D, n)
+    elim_c = jnp.repeat(elim.reshape(D, chunk), 6, axis=1)
+
+    # replicated small pieces: separator cross-couplings + bookkeeping
+    cross = H6.at[dd, :, :, dd, :, :].set(0.0).reshape(K, 6, K, 6)
+    R_cross = cross[sep_idx][:, :, sep_idx, :]          # (S, 6, S, 6)
+    sep_chunk = (sep_idx // chunk).astype(jnp.int32)
+    sep_within = (sep_idx % chunk).astype(jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=P(axis),
+    )
+    def solve(A_l, b_l, e_l, R_cross, sep_chunk, sep_within, sep_idx):
+        # local interior elimination: (Dl, n, n) chunks on this device
+        Sc, bs, Minv, A_es = jax.vmap(schur_mod.chunk_eliminate)(A_l, b_l, e_l)
+        # one gather of the (small) per-chunk Schur contributions
+        Sc_all = jax.lax.all_gather(Sc, axis, tiled=True)    # (D, n, n)
+        bs_all = jax.lax.all_gather(bs, axis, tiled=True)    # (D, n)
+
+        # replicated separator system: blockdiag(Sc) restricted to the
+        # keep-set + cross couplings
+        Sc6 = Sc_all.reshape(D, chunk, 6, chunk, 6)
+        c1 = sep_chunk[:, None]
+        w1 = sep_within[:, None]
+        w2 = sep_within[None, :]
+        bd = Sc6[c1, w1, :, w2, :]                    # (S, S, 6, 6)
+        same = sep_chunk[:, None] == sep_chunk[None, :]
+        bd = jnp.where(same[:, :, None, None], bd, 0.0)
+        R = jnp.swapaxes(bd, 1, 2) + R_cross          # (S, 6, S, 6)
+        R = R.reshape(S * 6, S * 6)
+        b_red = bs_all.reshape(K, 6)[sep_idx].reshape(S * 6)
+        chol = jax.scipy.linalg.cho_factor(R + 1e-9 * jnp.eye(S * 6, dtype=R.dtype))
+        x_s = jax.scipy.linalg.cho_solve(chol, b_red).reshape(S, 6)
+
+        # local back-substitution on this device's chunks
+        delta_full = jnp.zeros((K, 6), b_red.dtype).at[sep_idx].set(x_s)
+        Dl = A_l.shape[0]
+        d0 = jax.lax.axis_index(axis) * Dl
+        delta_c = jax.lax.dynamic_slice_in_dim(
+            delta_full.reshape(D, n), d0, Dl, axis=0
+        )
+        x_e = jax.vmap(schur_mod.back_substitute)(Minv, A_es, b_l, e_l, delta_c)
+        return jnp.where(e_l, x_e, delta_c)
+
+    delta = solve(A, b_c, elim_c, R_cross, sep_chunk, sep_within, sep_idx)
+    return delta.reshape(K, 6), ok
+
+
+def _sharded_schur_step(
+    nodes: Pose,
+    edges: pg.EdgeSet,
+    node_mask: jnp.ndarray,
+    damping,
+    mesh: Mesh,
+    axis: str = "dp",
+    sep_capacity: int = 64,
+) -> Pose:
+    """One GN/LM step: edge-sharded assembly + distributed Schur solve,
+    falling back to the replicated direct factorization when the
+    separator capacity overflows (``SchurResult.ok`` honored)."""
+    from icpslam_tpu.graph import schur as schur_mod
+
+    K = nodes.t.shape[0]
+    H, b = sharded_edge_contributions(nodes, edges, mesh, axis)
+    H, b = pg.regularize_normal_equations(H, b, node_mask)
+    # same adaptive diagonal damping as the direct path
+    eye6 = jnp.eye(6, dtype=nodes.t.dtype)
+    diag_idx = jnp.arange(K)
+    diag_blocks = H[diag_idx, :, diag_idx, :]
+    scale = jnp.einsum("kii->k", diag_blocks) / 6.0
+    Hd = H.at[diag_idx, :, diag_idx, :].add(
+        (jnp.asarray(damping, nodes.t.dtype) * jnp.maximum(scale, 1e-6))[:, None, None]
+        * eye6
+    )
+    D = mesh.shape[axis]
+    sm = schur_mod.separator_mask(edges.i, edges.j, edges.valid, K, K // D)
+    delta_s, ok = _sharded_schur_delta(
+        Hd, -b, sm, mesh, axis, sep_capacity=sep_capacity
+    )
+
+    def direct_delta(_):
+        Hm = Hd.reshape(K * 6, K * 6)
+        chol = jax.scipy.linalg.cho_factor(Hm, lower=True)
+        return jax.scipy.linalg.cho_solve(chol, -b.reshape(K * 6)).reshape(K, 6)
+
+    delta = jax.lax.cond(ok, lambda _: delta_s, direct_delta, operand=None)
+    delta = delta * node_mask[:, None]
+    return se3.normalize(se3.compose(nodes, se3.se3_exp(delta)))
+
+
 def optimize(
     nodes: Pose,
     edges: pg.EdgeSet,
@@ -159,20 +296,29 @@ def optimize(
     axis: str = "dp",
     linear_solver: str = "direct",
     cg_iterations: int = 50,
+    sep_capacity: int = 64,
 ) -> Tuple[Pose, pg.SolveStats]:
     """Distributed drop-in for ``pose_graph.optimize``.
 
     ``linear_solver='direct'``: edge-sharded assembly + replicated dense
     Cholesky. ``'pcg'``: fully distributed matrix-free CG (no dense H).
+    ``'schur'``: edge-sharded assembly + distributed Schur elimination
+    (chunk ↔ device) with replicated separator solve.
     """
     c0 = pg.graph_cost(nodes, edges)
     pcg = linear_solver == "pcg"
+    use_schur = linear_solver == "schur"
 
     def one_step(nds, lam):
         if pcg:
             return _sharded_pcg_step(
                 nds, edges, node_mask, lam, mesh, axis=axis,
                 cg_iterations=cg_iterations,
+            )
+        if use_schur:
+            return _sharded_schur_step(
+                nds, edges, node_mask, lam, mesh, axis=axis,
+                sep_capacity=sep_capacity,
             )
         H, b = sharded_edge_contributions(nds, edges, mesh, axis)
         H, b = pg.regularize_normal_equations(H, b, node_mask)

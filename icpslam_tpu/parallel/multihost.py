@@ -37,20 +37,34 @@ def initialize(
     (the normal path on Cloud TPU VMs). No-op if already initialized or
     running single-process.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    kwargs = {}
+    # NOTE: must not touch the XLA backend (jax.devices / process_count)
+    # before jax.distributed.initialize — backend init pins single-process.
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:  # older jax
+        already = getattr(jax._src.distributed.global_state, "client", None) is not None
+    if already:
+        return
     if coordinator_address is not None:
-        kwargs = dict(
+        # explicit cluster spec: a failure to rendezvous is a real error —
+        # do NOT swallow it (a silently-single process would shard wrong)
+        jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
     try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # single-process / already-initialized environments
-        pass
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError) as e:
+        # auto-detection path only: single-process / already-initialized
+        # environments are normal here, but say so instead of hiding it
+        import logging
+
+        logging.getLogger(__name__).info(
+            "jax.distributed auto-init unavailable (%s); running single-process",
+            e,
+        )
 
 
 def global_mesh(axis: str = "dp") -> Mesh:

@@ -307,7 +307,9 @@ def slam_step(
 
     # ---- 2. scan-to-map refinement (after first keyframe, ``:135``) ------
     have_kf = state.keyframes.count > 0
-    do_refine = oout.processed & oout.accepted & have_kf
+    do_refine = (
+        oout.processed & oout.accepted & have_kf & config.enable_scan_to_map
+    )
 
     # reuse the front-end's covariances when the mapping ICP uses the same
     # plane-mode parameters (avoids recomputing the k-NN + eigen pass)

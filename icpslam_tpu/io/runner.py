@@ -419,7 +419,11 @@ def main(argv=None) -> int:
             res.state,
             trajectory=res.trajectory,
             ground_truth=gt if (gt is not None and gt.t.shape[0] == n) else None,
-            title=f"icpslam_tpu — {'synthetic' if args.synthetic else f'KITTI {args.seq}'}",
+            title="icpslam_tpu — " + (
+                "synthetic" if args.synthetic
+                else "KITTI-proxy" if args.kitti_proxy
+                else f"KITTI {args.seq}"
+            ),
         )
         log.info(f"wrote viewer to {args.html}")
     return 0

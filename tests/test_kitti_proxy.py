@@ -37,7 +37,8 @@ class TestKittiProxy:
         )
         assert pts.shape[0] > 2000
         r = np.linalg.norm(pts, axis=-1)
-        assert (r >= 2.5).all() and (r <= 80.0).all()
+        # range gate is pre-noise; Gaussian range noise can nudge past it
+        assert (r >= 2.4).all() and (r <= 81.0).all()
         # beam structure: elevations quantized to at most n_beams rings
         el = np.degrees(np.arcsin(np.clip(pts[:, 2] / np.maximum(r, 1e-9), -1, 1)))
         assert el.min() >= -25.0 and el.max() <= 2.5

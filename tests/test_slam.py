@@ -149,6 +149,58 @@ class TestChunkedRun:
             assert a["optimized"] == b["optimized"]
 
 
+class TestDriftRescue:
+    """Loop closures must RESCUE a drifting trajectory, not merely exist
+    (VERDICT r1 item 5): odometry-only over an 80 m loop accumulates
+    random-walk drift; with closures enabled the same run must pull the
+    end-of-loop error down by a large factor."""
+
+    def _run(self, cfg):
+        world = synthetic.make_room_world(seed=11, n_points=30000, size=40.0, height=5.0)
+        gt = synthetic.make_loop_trajectory(n_poses=60, radius=12.0, laps=1.2)
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        state = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        outs = []
+        for scan in synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, max_range=16.0,
+            n_points=1500, noise=0.03, seed=11,
+        ):
+            state, out = step(state, scan, cfg)
+            outs.append(out)
+        est = se3.stack([o.pose_map for o in outs])
+        tail = float(
+            np.linalg.norm(np.asarray(est.t - gt.t)[-5:], axis=-1).mean()
+        )
+        return state, tail
+
+    def test_loop_closures_rescue_drift(self):
+        from icpslam_tpu.config import IcpConfig, tiny_config
+
+        base = dict(
+            voxel_leaf_size=0.4, map_resolution=0.4,
+            # iteration-capped odometry + no scan-to-map refinement →
+            # honest accumulating front-end drift
+            icp_odometry=IcpConfig(mode="plane", max_iterations=4,
+                                   transformation_epsilon=0.0),
+            icp_mapping=IcpConfig(mode="point", max_iterations=20),
+            max_points=2048, max_raw_points=4096, max_map_points=16384,
+            max_keyframes=96, max_edges=384, keyframe_distance=0.8,
+            keyframes_window=4, loop_closure_radius=4.0,
+            loop_closure_min_id_gap=10, enable_scan_to_map=False,
+        )
+        st_off, tail_off = self._run(
+            tiny_config(**{**base, "enable_loop_closure": False})
+        )
+        st_on, tail_on = self._run(tiny_config(**base))
+
+        assert int(st_off.num_loop_closures) == 0
+        assert int(st_on.num_loop_closures) >= 5
+        # calibrated: 0.30 m drift without closures, 0.05 m with
+        assert tail_off > 0.15, tail_off
+        assert tail_on < 0.12, tail_on
+        assert tail_on < 0.5 * tail_off, (tail_on, tail_off)
+
+
 class TestRobustness:
     def test_empty_and_degenerate_scans_survive(self):
         # SURVEY §5.3: graceful degradation — garbage in, no crash/NaN out

@@ -95,7 +95,8 @@ def bench_full_slam(jax, cfg, scans, gt, donate: bool = True):
     if donate:
         kw["donate_argnums"] = (0,)
     step = jax.jit(slam.slam_step, **kw)
-    state = slam.init_state(cfg, se3.index(gt, 0))
+    # committed state avoids a second compile (committed-ness is cache-key)
+    state = jax.device_put(slam.init_state(cfg, se3.index(gt, 0)), jax.devices()[0])
     n_warm = min(3, len(scans) - 1)
     for i in range(n_warm):
         state, out = step(state, scans[i], cfg)
@@ -117,7 +118,10 @@ def bench_odometry(jax, cfg, scans, gt, n_warm, chunk=10):
     from icpslam_tpu.pipeline import odometry
 
     run = jax.jit(odometry.run_scans, static_argnums=(2,), donate_argnums=(0,))
-    state = odometry.init_state(cfg, se3.index(gt, 0))
+    # device_put: committed-ness is part of the jit cache key — an
+    # uncommitted fresh state would recompile on the second call (whose
+    # input is the committed output of the first)
+    state = jax.device_put(odometry.init_state(cfg, se3.index(gt, 0)), jax.devices()[0])
 
     def stack(cs):
         return jtu.tree_map(lambda *x: jnp.stack(x), *cs)

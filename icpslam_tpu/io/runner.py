@@ -93,6 +93,7 @@ def run_slam(
     initial_pose: Optional[Pose] = None,
     logger: Optional[Logger] = None,
     chunk: int = 1,
+    state: Optional[slam.SlamState] = None,
 ) -> RunResult:
     """Drive the jitted pipeline over a scan stream.
 
@@ -109,7 +110,8 @@ def run_slam(
     reference).
     """
     log = logger or Logger(level=config.verbosity)
-    state = slam.init_state(config, initial_pose)
+    if state is None:
+        state = slam.init_state(config, initial_pose)
     poses = []
     per_scan = []
     step_ms: List[float] = []
@@ -289,6 +291,11 @@ def main(argv=None) -> int:
         help="synthetic scan rate in Hz (drives the synthetic timestamps)",
     )
     ap.add_argument(
+        "--scan-cache", type=str, default=None,
+        help="(--kitti-proxy) cache rendered scans to this .npz and reuse "
+        "them on later runs (64-beam rendering is host-bound)",
+    )
+    ap.add_argument(
         "--chunk", type=int, default=1,
         help="scans per device call (lax.scan chunking; 1 = step-by-step, "
         "the right choice on TPU — XLA copies the large carried map/"
@@ -299,6 +306,20 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--summary-out", type=str, default=None,
         help="also write the summary JSON (incl. ATE/RPE) to this file",
+    )
+    ap.add_argument(
+        "--save-state", type=str, default=None,
+        help="checkpoint the final SlamState to this .npz (resume with --resume)",
+    )
+    ap.add_argument(
+        "--resume", type=str, default=None,
+        help="resume from a --save-state checkpoint (same capacities "
+        "required); the map is re-rendered from keyframes",
+    )
+    ap.add_argument(
+        "--trace", type=str, default=None,
+        help="capture a jax.profiler trace of the run into this directory "
+        "(TensorBoard/Perfetto readable)",
     )
     ap.add_argument(
         "--html", type=str, default=None,
@@ -330,13 +351,52 @@ def main(argv=None) -> int:
     gt = None
 
     if args.kitti_proxy:
+        import os
+
+        import jax.numpy as jnp
+
         from icpslam_tpu.io import synthetic
 
-        world = synthetic.make_urban_world(seed=0)
-        gt = synthetic.make_urban_drive(n_poses=args.poses, rate_hz=args.rate)
-        scans = synthetic.velodyne_stream(
-            world, gt, capacity=cfg.max_raw_points, rate_hz=args.rate,
-        )
+        cache = getattr(args, "scan_cache", None)
+        if cache and os.path.exists(cache):
+            # re-use previously rendered scans (rendering 500 64-beam
+            # scans costs ~3 min of host time; the pipeline does not)
+            data = np.load(cache)
+            n = min(args.poses, int(data["gt_t"].shape[0]))
+            gt = Pose(
+                t=jnp.asarray(data["gt_t"][:n]), q=jnp.asarray(data["gt_q"][:n])
+            )
+            scans = (
+                (pc.from_points(data[f"s{i}"], capacity=cfg.max_raw_points),
+                 i / args.rate)
+                for i in range(n)
+            )
+            log.info(f"loaded {n} cached proxy scans from {cache}")
+        else:
+            world = synthetic.make_urban_world(seed=0)
+            gt = synthetic.make_urban_drive(n_poses=args.poses, rate_hz=args.rate)
+            if cache:
+                t_np, q_np = np.asarray(gt.t), np.asarray(gt.q)
+                rendered = [
+                    synthetic.render_velodyne_scan(
+                        world, t_np[i], q_np[i], seed=i,
+                        max_points=cfg.max_raw_points,
+                    )
+                    for i in range(args.poses)
+                ]
+                np.savez_compressed(
+                    cache, gt_t=t_np, gt_q=q_np,
+                    **{f"s{i}": s for i, s in enumerate(rendered)},
+                )
+                log.info(f"rendered + cached {len(rendered)} scans to {cache}")
+                scans = (
+                    (pc.from_points(s, capacity=cfg.max_raw_points), i / args.rate)
+                    for i, s in enumerate(rendered)
+                )
+            else:
+                scans = synthetic.velodyne_stream(
+                    world, gt, capacity=cfg.max_raw_points, rate_hz=args.rate,
+                )
         init = se3.index(gt, 0)
     elif args.synthetic:
         from icpslam_tpu.io import synthetic
@@ -365,7 +425,26 @@ def main(argv=None) -> int:
             log.warn("no ground-truth poses found; skipping ATE")
         init = None
 
-    res = run_slam(scans, cfg, initial_pose=init, logger=log, chunk=args.chunk)
+    resume_state = None
+    if args.resume:
+        from icpslam_tpu.utils import checkpoint
+
+        resume_state = checkpoint.load(args.resume, slam.init_state(cfg))
+        resume_state = checkpoint.rerender_map(resume_state, cfg)
+        log.info(f"resumed {int(resume_state.keyframes.count)} keyframes "
+                 f"from {args.resume} (map re-rendered: "
+                 f"{int(resume_state.map.size)} points)")
+
+    if args.trace:
+        from icpslam_tpu.utils import profiling
+
+        with profiling.trace(args.trace):
+            res = run_slam(scans, cfg, initial_pose=init, logger=log,
+                           chunk=args.chunk, state=resume_state)
+        log.info(f"wrote profiler trace to {args.trace}")
+    else:
+        res = run_slam(scans, cfg, initial_pose=init, logger=log,
+                       chunk=args.chunk, state=resume_state)
     n = res.trajectory.t.shape[0]
     log.info(f"processed {n} scans in {res.wall_time:.2f}s "
              f"({n / res.wall_time:.2f} scans/s incl. compile)")
@@ -403,6 +482,11 @@ def main(argv=None) -> int:
             )
         log.info(f"wrote summary to {args.summary_out}")
 
+    if args.save_state:
+        from icpslam_tpu.utils import checkpoint
+
+        checkpoint.save(args.save_state, res.state)
+        log.info(f"checkpointed final state to {args.save_state}")
     if args.out:
         np.savez(
             args.out,

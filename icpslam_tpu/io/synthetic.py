@@ -176,18 +176,19 @@ def make_urban_drive(
     lap_margin: float = 0.0,
 ) -> se3.Pose:
     """10 Hz urban drive around the first city block — long straights,
-    90° corners, and a loop closure when the route returns to the start.
-    ``speed`` m/s at ``rate_hz`` scans/s (KITTI-like ~0.8 m between
-    scans). The route loops as many times as ``n_poses`` requires."""
-    pitch = block_size + street_width
+    rounded 90° corners (a vehicle can't yaw 90° between two 10 Hz
+    scans; instantaneous corners break any odometry, real or simulated),
+    and a loop closure when the route returns to the start. ``speed`` m/s
+    at ``rate_hz`` scans/s (KITTI-like ~0.8 m between scans). The route
+    loops as many times as ``n_poses`` requires."""
+    del lap_margin  # route geometry is fixed by the block layout
     half = street_width / 2.0
-    # rectangle around the first block, driving down the street centers
     c0 = half
     c1 = street_width + block_size + half
-    corners = np.array(
-        [[c0, c0], [c1, c0], [c1, c1], [c0, c1]], np.float64
-    )
-    # waypoints along the rectangle edges
+    corner_r = min(6.0, half * 0.9 + 2.0)  # turn radius within the street
+    # rectangle around the first block with quarter-circle corner arcs:
+    # straights shortened by corner_r at each end
+    corners = np.array([[c0, c0], [c1, c0], [c1, c1], [c0, c1]], np.float64)
     step = speed / rate_hz
     pts = []
     yaws = []
@@ -195,16 +196,38 @@ def make_urban_drive(
     while len(pts) < n_poses:
         a = corners[i % 4]
         b = corners[(i + 1) % 4]
-        seg = b - a
-        seg_len = np.linalg.norm(seg)
-        direction = seg / seg_len
-        n_seg = int(seg_len / step)
+        c = corners[(i + 2) % 4]
+        d1 = (b - a) / np.linalg.norm(b - a)
+        d2 = (c - b) / np.linalg.norm(c - b)
+        seg_len = np.linalg.norm(b - a) - 2 * corner_r
+        # straight part (from a+r·d1 for seg_len)
+        n_seg = max(int(seg_len / step), 1)
         for k in range(n_seg):
             if len(pts) >= n_poses:
                 break
-            p = a + direction * (k * step)
+            p = a + d1 * (corner_r + k * step)
             pts.append([p[0], p[1], z])
-            yaws.append(np.arctan2(direction[1], direction[0]))
+            yaws.append(np.arctan2(d1[1], d1[0]))
+        # quarter-circle arc from (b - r·d1) to (b + r·d2)
+        center = b - d1 * corner_r + d2 * corner_r
+        yaw0 = np.arctan2(d1[1], d1[0])
+        # left turn (counter-clockwise route): heading advances +90°
+        arc_len = np.pi / 2 * corner_r
+        n_arc = max(int(arc_len / step), 1)
+        for k in range(n_arc):
+            if len(pts) >= n_poses:
+                break
+            th = (k + 0.5) / n_arc * (np.pi / 2)
+            heading = yaw0 + th
+            # position on the arc: start point rotated about the center
+            start = b - d1 * corner_r
+            rel = start - center
+            rot = np.array(
+                [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+            )
+            p = center + rot @ rel
+            pts.append([p[0], p[1], z])
+            yaws.append(heading)
         i += 1
     pos = np.asarray(pts, np.float64)
     yaw = np.asarray(yaws, np.float64)

@@ -83,15 +83,18 @@ def query_nn_with_covs(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     config: SlamConfig,
+    prune_beyond: float | None = None,
 ):
     """NN query returning stored covariances when the backend carries them.
 
     Returns ``(MapNNResult, covs_or_None)`` — ``covs`` is packed (6, Q) in
     the *map* frame for the point backend, ``None`` for the voxel backend
-    (whose callers recompute from the NN cloud).
+    (whose callers recompute from the NN cloud). ``prune_beyond`` is the
+    point backend's static don't-care radius license (see
+    ``point_map.exact_nn_with_covs``).
     """
     if isinstance(map_, pm.PointMap):
-        return pm.exact_nn_with_covs(map_, points, mask)
+        return pm.exact_nn_with_covs(map_, points, mask, prune_beyond=prune_beyond)
     return (
         vm.approx_nn(
             map_, points, mask, config.map_resolution, radius=config.map_nn_radius

@@ -162,24 +162,30 @@ def exact_nn(pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray) -> MapNNRes
 
 
 def exact_nn_with_covs(
-    pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray
+    pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray,
+    prune_beyond: float | None = None,
 ) -> Tuple[MapNNResult, jnp.ndarray]:
     """Exact NN plus the stored (map-frame) covariance of each winner.
 
     Returns ``(MapNNResult, covs packed (6, Q))`` — identity covariance
-    where nothing was found.
+    where nothing was found. ``prune_beyond``: static squared don't-care
+    radius forwarded to the kernel (results exact within it) — callers
+    whose downstream gates discard farther matches anyway (ICP
+    correspondence gate, insert dedup) pass the larger of the two.
     """
-    res, idx = _exact_nn_idx(pmap, points, mask)
+    res, idx = _exact_nn_idx(pmap, points, mask, prune_beyond=prune_beyond)
     packed = pmap.covs[:, idx]  # (6, Q)
     eye6 = jnp.asarray(_EYE6, pmap.covs.dtype)
     return res, jnp.where(res.found[None, :], packed, eye6[:, None])
 
 
 def _exact_nn_idx(
-    pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray
+    pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray,
+    prune_beyond: float | None = None,
 ) -> Tuple[MapNNResult, jnp.ndarray]:
     res = nn_ops.nearest_neighbors(
-        points, pmap.points, pmap.occupancy_mask(), valid_len=pmap.size
+        points, pmap.points, pmap.occupancy_mask(), valid_len=pmap.size,
+        prune_beyond=prune_beyond,
     )
     found = mask & jnp.isfinite(res.dist2)
     return (

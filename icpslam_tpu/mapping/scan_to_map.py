@@ -116,8 +116,15 @@ def refine_and_grow(
         )
 
     def refine(_):
+        # the two consumers of this query gate at max_correspondence
+        # (registration) and map_resolution (insert dedup): matches beyond
+        # both are discarded, so license the kernel to prune tiles there
+        prune = float(
+            max(icfg.max_correspondence_distance, res_m) ** 2
+        )
         nn, map_covs = map_backend.query_nn_with_covs(
-            map_, cloud_in_map.points, cloud_in_map.mask, config
+            map_, cloud_in_map.points, cloud_in_map.mask, config,
+            prune_beyond=prune,
         )
         # NN points back into the robot frame (reference ``:149``)
         inv = se3.inverse(raw_pose)

@@ -181,38 +181,82 @@ def run_slam(
             step_ms=step_ms,
         )
 
+    jnp = jax.numpy
     step = jax.jit(slam.slam_step, static_argnums=(2,))
+    # per-scan metrics handling: converting outputs to Python scalars
+    # forces a device sync every scan — over the tunneled TPU that costs
+    # more than the step itself (~hundreds of ms of round-trips + it
+    # stalls JAX's async pipeline). Default: pack the 12 metric scalars
+    # into ONE device vector per scan (async) and fetch them all in one
+    # transfer at the end. verbosity >= 2 keeps the synchronous per-scan
+    # path (live debug logging needs the values now).
+    sync_metrics = config.verbosity >= 2
+    packed_recs = []
     for i, item in enumerate(scans):
         scan, stamp = split(item)
         ts0 = time.perf_counter()
         if stamp is None:
             state, out = step(state, scan, config)
         else:
-            state, out = step(
-                state, scan, config, jax.numpy.asarray(stamp, jax.numpy.float32)
-            )
+            state, out = step(state, scan, config, jnp.asarray(stamp, jnp.float32))
         poses.append(out.pose_map)
-        rec = {
-            "scan": i,
-            "accepted": bool(out.odom_out.accepted),
-            "fitness": float(out.odom_out.fitness),
-            "correspondences": int(out.odom_out.num_correspondences),
-            "icp_iterations": int(out.odom_out.iterations),
-            "refined": bool(out.refined),
-            "new_keyframe": bool(out.new_keyframe),
-            "loop_closure": bool(out.loop_closure),
-            "optimized": bool(out.optimized),
-            "map_size": int(out.map_size),
-            "num_keyframes": int(out.num_keyframes),
-        }
-        per_scan.append(rec)  # building rec syncs on the outputs
-        step_ms.append((time.perf_counter() - ts0) * 1000.0)
-        log.debug(f"scan {i}: {rec}")
-        if rec["optimized"]:
-            log.info(
-                f"scan {i}: optimized graph ({rec['num_keyframes']} keyframes, "
-                f"cost {float(out.graph_cost):.4f})"
+        if sync_metrics:
+            rec = {
+                "scan": i,
+                "accepted": bool(out.odom_out.accepted),
+                "fitness": float(out.odom_out.fitness),
+                "correspondences": int(out.odom_out.num_correspondences),
+                "icp_iterations": int(out.odom_out.iterations),
+                "refined": bool(out.refined),
+                "new_keyframe": bool(out.new_keyframe),
+                "loop_closure": bool(out.loop_closure),
+                "optimized": bool(out.optimized),
+                "map_size": int(out.map_size),
+                "num_keyframes": int(out.num_keyframes),
+            }
+            per_scan.append(rec)  # building rec syncs on the outputs
+            log.debug(f"scan {i}: {rec}")
+            if rec["optimized"]:
+                log.info(
+                    f"scan {i}: optimized graph ({rec['num_keyframes']} "
+                    f"keyframes, cost {float(out.graph_cost):.4f})"
+                )
+        else:
+            packed_recs.append(
+                jnp.stack([
+                    out.odom_out.accepted.astype(jnp.float32),
+                    out.odom_out.fitness,
+                    out.odom_out.num_correspondences.astype(jnp.float32),
+                    out.odom_out.iterations.astype(jnp.float32),
+                    out.refined.astype(jnp.float32),
+                    out.new_keyframe.astype(jnp.float32),
+                    out.loop_closure.astype(jnp.float32),
+                    out.optimized.astype(jnp.float32),
+                    out.map_size.astype(jnp.float32),
+                    out.num_keyframes.astype(jnp.float32),
+                    out.graph_cost,
+                ])
             )
+        step_ms.append((time.perf_counter() - ts0) * 1000.0)
+        # bound the async in-flight queue (and its device memory)
+        if not sync_metrics and i % 64 == 63:
+            jax.block_until_ready(state.slam_pose.t)
+    if not sync_metrics and packed_recs:
+        allrec = np.asarray(jnp.stack(packed_recs))  # ONE device->host fetch
+        for i, r in enumerate(allrec):
+            per_scan.append({
+                "scan": i,
+                "accepted": bool(r[0]),
+                "fitness": float(r[1]),
+                "correspondences": int(r[2]),
+                "icp_iterations": int(r[3]),
+                "refined": bool(r[4]),
+                "new_keyframe": bool(r[5]),
+                "loop_closure": bool(r[6]),
+                "optimized": bool(r[7]),
+                "map_size": int(r[8]),
+                "num_keyframes": int(r[9]),
+            })
     wall = time.perf_counter() - t0
     return RunResult(
         trajectory=se3.stack(poses), per_scan=per_scan, state=state,

@@ -9,14 +9,14 @@ whatever device JAX selects (the real TPU chip under the driver; CPU with
 (``/root/reference/src/icpslam/icpslam.cpp:107-189``), not just the
 front-end.
 
-``vs_baseline`` compares against the reference operating point: PCL GICP
-at 10 iterations on clouds this size runs at roughly 10 scans/s on a
-desktop CPU core (no published numbers exist — BASELINE.md documents that
-the baseline must be established; 10 scans/s is the conservative estimate
-the ≥10x target in BASELINE.json is measured against). The reference's
-full mainLoop (odometry GICP + octree NN + 30-iter mapping GICP) is
-strictly slower than its front-end alone, so using the front-end estimate
-as the denominator *understates* our multiplier.
+``vs_baseline`` compares against the reference operating point, MEASURED
+per run by ``native/gicp_ref.cpp`` — a single-threaded C++ kd-tree GICP
+at the reference's own knobs and matched cloud sizes (~5-8 scans/s on
+this host CPU; built on demand, falls back to the documented 10 scans/s
+estimate without a toolchain). The reference's full mainLoop (odometry
+GICP + octree NN + 30-iter mapping GICP) is strictly slower than its
+front-end alone, so using the front-end measurement as the denominator
+*understates* our multiplier.
 
 Secondary metrics (stderr, one JSON line each): front-end odometry
 throughput, pose-graph solve latency, and optional on-device Pallas-vs-XLA
@@ -82,11 +82,9 @@ def bench_full_slam(jax, cfg, scans, gt, donate: bool = True):
     """Full slam_step throughput (odometry + scan-to-map + keyframes +
     loop closure + windowed graph solve) — the headline.
 
-    Driven step-by-step: chunked lax.scan driving measured *slower* for
-    the full pipeline on this backend (XLA copies the large carried
-    map/keyframe state per iteration), unlike the odometry front-end
-    where chunking wins. Buffer donation of the SlamState avoids a
-    state-sized copy per step.
+    Driven step-by-step (measured parity with chunked lax.scan driving
+    for the full pipeline on v5e; step-by-step exercises the per-scan
+    dispatch path production streaming uses).
     """
     from icpslam_tpu.geometry import se3
     from icpslam_tpu.pipeline import slam

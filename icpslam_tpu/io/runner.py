@@ -341,9 +341,9 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--chunk", type=int, default=1,
-        help="scans per device call (lax.scan chunking; 1 = step-by-step, "
-        "the right choice on TPU — XLA copies the large carried map/"
-        "keyframe state per chunked iteration, see slam.run_scans)",
+        help="scans per device call (lax.scan chunking; parity with "
+        "step-by-step for the full pipeline on v5e — chunk when per-scan "
+        "host work dominates, see slam.run_scans)",
     )
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None, help="write trajectory .npz")

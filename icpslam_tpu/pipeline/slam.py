@@ -262,12 +262,13 @@ def run_scans(
     reference's callback-thread ingest: the host stacks scans while the
     device runs the previous chunk). Jit with ``static_argnums=(2,)``.
 
-    Caveat (measured on v5e): chunked driving wins for the *odometry*
-    front-end (small carried state — ``odometry.run_scans``), but LOSES
-    badly for the full pipeline — XLA does not alias the large carried
-    SlamState (map + keyframe clouds) across ``lax.scan`` iterations, so
-    every step copies it. Drive the full pipeline step-by-step and let
-    JAX's async dispatch overlap host and device instead.
+    Measured on v5e (r2): chunked driving is at parity with step-by-step
+    for the full pipeline (~57 scans/s both at 40-scan/keyframe-heavy
+    shapes) — the large 100x regression recorded in r1 was a benchmark
+    artifact (an uncommitted initial state makes the second call
+    recompile; committed-ness is part of the jit cache key). Chunking
+    still wins when per-scan host work (dispatch, metric syncs)
+    dominates, e.g. the odometry front-end at ~1 ms/scan.
     """
 
     if stamps is None:

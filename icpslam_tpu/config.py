@@ -178,6 +178,87 @@ class SlamConfig:
         )
 
 
+# reference yaml key → SlamConfig field (config/icpslam.yaml:1-31)
+_REFERENCE_KEY_ALIASES = {
+    "verbosity_level": "verbosity",
+    "octree_resolution": "map_resolution",
+    "icp_information_matrix": "icp_information",
+    "wheel_odom_information_matrix": "odometry_information",
+    "loop_information_matrix": "loop_information",
+}
+# reference keys consumed by rviz styling / unused frames — accepted and
+# ignored (viz styling lives in viz/, the world frame is never referenced
+# by the reference's own code either)
+_REFERENCE_IGNORED_KEYS = {
+    "world_frame", "marker_scale_nodes", "marker_scale_edges",
+    "icp_nodes_markers_color", "odom_nodes_markers_color",
+    "edges_markers_color",
+}
+
+
+def from_dict(data: dict, **overrides) -> SlamConfig:
+    """Build a SlamConfig from a plain dict.
+
+    Accepts this framework's field names (with ``icp_odometry`` /
+    ``icp_mapping`` as nested dicts) AND the reference's original yaml
+    keys (``config/icpslam.yaml`` — e.g. ``octree_resolution``,
+    ``icp_information_matrix``), so the reference's config file loads
+    unchanged. Unknown keys raise (typo safety — the ROS param server
+    silently ignored them; we don't).
+    """
+    fields = {f.name for f in dataclasses.fields(SlamConfig)}
+    kw = {}
+    for key, val in data.items():
+        key = _REFERENCE_KEY_ALIASES.get(key, key)
+        if key in _REFERENCE_IGNORED_KEYS:
+            continue
+        if key not in fields:
+            raise KeyError(f"unknown config key '{key}'")
+        if key in ("icp_odometry", "icp_mapping"):
+            if not isinstance(val, dict):
+                raise TypeError(f"{key} must be a mapping of IcpConfig fields")
+            icp_fields = {f.name for f in dataclasses.fields(IcpConfig)}
+            bad = set(val) - icp_fields
+            if bad:
+                raise KeyError(f"unknown {key} keys {sorted(bad)}")
+            val = IcpConfig(**val)
+        elif isinstance(val, list):
+            val = tuple(float(x) for x in val)
+        kw[key] = val
+    kw.update(overrides)
+    return SlamConfig(**kw)
+
+
+def from_yaml(path: str, **overrides) -> SlamConfig:
+    """Load a SlamConfig from a YAML file — the typed replacement for the
+    reference's ROS parameter tier (``launch/icpslam.launch:12`` loading
+    ``config/icpslam.yaml``). The reference's own yaml loads as-is (key
+    aliases above); ``overrides`` play the role of launch-arg overrides.
+    """
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return from_dict(data, **overrides)
+
+
+def _to_plain(x):
+    if isinstance(x, tuple):
+        return [_to_plain(v) for v in x]
+    if isinstance(x, dict):
+        return {k: _to_plain(v) for k, v in x.items()}
+    return x
+
+
+def save_yaml(config: SlamConfig, path: str) -> None:
+    """Write a config as YAML (round-trips through ``from_yaml``)."""
+    import yaml
+
+    d = _to_plain(dataclasses.asdict(config))
+    with open(path, "w") as f:
+        yaml.safe_dump(d, f, sort_keys=False)
+
+
 def kitti_config(**overrides) -> SlamConfig:
     """Velodyne/urban-scale operating point (KITTI and the KITTI-proxy
     synthetic sequence). The reference's room-scale yaml defaults don't

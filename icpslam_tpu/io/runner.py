@@ -278,6 +278,37 @@ def _parse_extrinsic(spec: Optional[str]):
     raise ValueError("--extrinsic expects 'x,y,z' or 'x,y,z,qw,qx,qy,qz'")
 
 
+# CLI dest -> SlamConfig field for --config override precedence (the
+# reference's launch args override its yaml the same way)
+_CLI_CONFIG_FIELDS = {
+    "voxel": "voxel_leaf_size",
+    "map_resolution": "map_resolution",
+    "skip": "num_clouds_skip",
+    "keyframe_distance": "keyframe_distance",
+    "window": "keyframes_window",
+    "max_points": "max_points",
+    "max_raw_points": "max_raw_points",
+    "max_map_points": "max_map_points",
+    "max_keyframes": "max_keyframes",
+    "verbosity": "verbosity",
+}
+
+
+def _config_from_yaml_args(ap, args) -> SlamConfig:
+    """--config yaml base + explicitly-passed CLI flags as overrides."""
+    from icpslam_tpu import config as config_mod
+
+    overrides = {}
+    for dest, field in _CLI_CONFIG_FIELDS.items():
+        val = getattr(args, dest)
+        if val != ap.get_default(dest):
+            overrides[field] = val
+    if args.extrinsic:
+        ext_t, ext_q = _parse_extrinsic(args.extrinsic)
+        overrides.update(laser_extrinsic_t=ext_t, laser_extrinsic_q=ext_q)
+    return config_mod.from_yaml(args.config, **overrides)
+
+
 def _build_config(args) -> SlamConfig:
     ext_t, ext_q = _parse_extrinsic(getattr(args, "extrinsic", None))
     return SlamConfig(
@@ -335,6 +366,11 @@ def main(argv=None) -> int:
         help="synthetic scan rate in Hz (drives the synthetic timestamps)",
     )
     ap.add_argument(
+        "--config", type=str, default=None,
+        help="load a SlamConfig from YAML (accepts the reference's own "
+        "config/icpslam.yaml keys); explicit CLI flags override it",
+    )
+    ap.add_argument(
         "--scan-cache", type=str, default=None,
         help="(--kitti-proxy) cache rendered scans to this .npz and reuse "
         "them on later runs (64-beam rendering is host-bound)",
@@ -375,7 +411,9 @@ def main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    if args.kitti_proxy:
+    if args.config:
+        cfg = _config_from_yaml_args(ap, args)
+    elif args.kitti_proxy:
         from icpslam_tpu.config import kitti_config
 
         ext_t, ext_q = _parse_extrinsic(args.extrinsic)

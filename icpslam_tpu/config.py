@@ -146,6 +146,11 @@ class SlamConfig:
     # bucketed capacities). Each bucket compiles once.
     graph_bucketing: bool = True
     graph_bucket_min: int = 64
+    # pipelined back-end (SURVEY §2.3 'pipeline parallel'): slam_step
+    # skips the inline solve; the driver dispatches it asynchronously on
+    # a graph snapshot and folds the correction back a few scans later
+    # (pipeline/deferred.py). The reference's mainLoop blocks instead.
+    defer_optimization: bool = False
 
     # --- wheel / external odometry fusion (robot_odometer.cpp) ---
     wheel_odom_pose_gate: float = 0.1  # POSE_DIST_THRESH, robot_odometer.h:40

@@ -94,12 +94,17 @@ def run_slam(
     logger: Optional[Logger] = None,
     chunk: int = 1,
     state: Optional[slam.SlamState] = None,
+    post_step=None,
 ) -> RunResult:
     """Drive the jitted pipeline over a scan stream.
 
     ``scans`` yields ``PointCloud``s, or ``(PointCloud, stamp)`` pairs to
     thread real sensor timestamps through the pipeline (stored in
     keyframes and exports; without stamps the state keeps a scan counter).
+
+    ``post_step`` (step path only): callable ``state -> state`` invoked
+    after every step — the hook for the pipelined deferred back-end
+    (``pipeline/deferred.DeferredBackend.maybe_launch_or_fold``).
 
     ``chunk > 1`` feeds the device ``chunk`` scans per call through
     ``slam.run_scans`` (lax.scan) — amortizing per-call host dispatch and
@@ -237,6 +242,8 @@ def run_slam(
                     out.graph_cost,
                 ])
             )
+        if post_step is not None:
+            state = post_step(state)
         step_ms.append((time.perf_counter() - ts0) * 1000.0)
         # bound the async in-flight queue (and its device memory)
         if not sync_metrics and i % 64 == 63:
@@ -364,6 +371,12 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--rate", type=float, default=10.0,
         help="synthetic scan rate in Hz (drives the synthetic timestamps)",
+    )
+    ap.add_argument(
+        "--deferred-optimize", action="store_true",
+        help="pipelined back-end: dispatch the windowed graph solve "
+        "asynchronously and fold the correction back a few scans later "
+        "instead of stalling the stream (requires --chunk 1)",
     )
     ap.add_argument(
         "--config", type=str, default=None,
@@ -507,6 +520,19 @@ def main(argv=None) -> int:
             log.warn("no ground-truth poses found; skipping ATE")
         init = None
 
+    backend = None
+    post_step = None
+    if args.deferred_optimize:
+        import dataclasses as _dc
+
+        from icpslam_tpu.pipeline import deferred
+
+        if args.chunk != 1:
+            raise SystemExit("--deferred-optimize requires --chunk 1")
+        cfg = _dc.replace(cfg, defer_optimization=True)
+        backend = deferred.DeferredBackend(cfg)
+        post_step = backend.maybe_launch_or_fold
+
     resume_state = None
     if args.resume:
         from icpslam_tpu.utils import checkpoint
@@ -522,11 +548,17 @@ def main(argv=None) -> int:
 
         with profiling.trace(args.trace):
             res = run_slam(scans, cfg, initial_pose=init, logger=log,
-                           chunk=args.chunk, state=resume_state)
+                           chunk=args.chunk, state=resume_state,
+                           post_step=post_step)
         log.info(f"wrote profiler trace to {args.trace}")
     else:
         res = run_slam(scans, cfg, initial_pose=init, logger=log,
-                       chunk=args.chunk, state=resume_state)
+                       chunk=args.chunk, state=resume_state,
+                       post_step=post_step)
+    if backend is not None:
+        res.state = backend.flush(res.state)
+        log.info(f"deferred back-end: {backend.num_launched} solves "
+                 f"launched, {backend.num_folded} folded")
     n = res.trajectory.t.shape[0]
     log.info(f"processed {n} scans in {res.wall_time:.2f}s "
              f"({n / res.wall_time:.2f} scans/s incl. compile)")

@@ -1,0 +1,175 @@
+"""Pipelined back-end: overlap the windowed graph solve with streaming.
+
+The reference's main loop BLOCKS on g2o's ``optimize()``
+(``/root/reference/src/icpslam/icpslam.cpp:171``) — the front-end stalls
+for every solve. The TPU-native pipeline-parallel formulation (SURVEY
+§2.3 "double-buffered device steps") exploits JAX async dispatch instead:
+
+1. when the keyframe window fills, the solve is dispatched as its OWN
+   device program over a snapshot of the graph (``launch``) — the call
+   returns immediately, the device schedules it behind the in-flight
+   ``slam_step``s;
+2. the front-end keeps streaming scans (``config.defer_optimization``
+   compiles the inline solve out of ``slam_step``);
+3. when the solve result is ready (``jax.Array.is_ready``) — or a lag
+   bound is hit — ``fold`` merges it into the live state: snapshot
+   keyframes take their optimized poses, keyframes created *during* the
+   solve are re-based onto the corrected map→odom (their graph pose is
+   ``m2o ∘ pose_in_odom`` by construction, ``icpslam.cpp:76-77``), and
+   the map is reset per the reference's contract (``:170``).
+
+Semantics: the same graph is solved at the same window boundary; the
+correction lands late by the solve latency instead of stalling the
+stream. Use via ``DeferredBackend`` (the runner's
+``--deferred-optimize``) or the jitted pieces directly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from icpslam_tpu.config import SlamConfig
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
+from icpslam_tpu.graph import keyframes as kf
+from icpslam_tpu.graph import pose_graph as pg
+from icpslam_tpu.mapping import backend as map_backend
+from icpslam_tpu.pipeline import slam
+
+
+class SnapshotSolve(NamedTuple):
+    nodes: Pose            # (K,) optimized graph poses (snapshot prefix live)
+    map_to_odom: Pose      # correction at the snapshot's last keyframe
+    final_cost: jnp.ndarray
+    snapshot_count: jnp.ndarray  # int32 keyframes included in the solve
+
+
+def solve_snapshot(
+    state: slam.SlamState, config: SlamConfig
+) -> SnapshotSolve:
+    """The windowed solve on a snapshot of the live graph.
+
+    Pure + jittable (``static_argnums=(1,)``); dispatch it WITHOUT
+    blocking on the result — that is the entire point.
+    """
+    store = state.keyframes
+    mask = store.valid_mask()
+    kw = dict(
+        iterations=config.graph_solver_iterations,
+        mode=config.graph_solver,
+        linear_solver=config.graph_linear_solver,
+    )
+    if config.graph_bucketing:
+        nodes, stats = pg.optimize_bucketed(
+            store.pose_graph,
+            state.edges,
+            mask,
+            node_count=store.count,
+            edge_count=state.edges.count,
+            min_bucket=config.graph_bucket_min,
+            **kw,
+        )
+    else:
+        nodes, stats = pg.optimize(store.pose_graph, state.edges, mask, **kw)
+    last = jnp.maximum(store.count - 1, 0)
+    m2o = se3.normalize(
+        se3.compose(
+            Pose(t=nodes.t[last], q=nodes.q[last]),
+            se3.inverse(se3.index(store.pose_odom, last)),
+        )
+    )
+    return SnapshotSolve(
+        nodes=nodes,
+        map_to_odom=m2o,
+        final_cost=stats.final_cost,
+        snapshot_count=store.count,
+    )
+
+
+def fold(
+    state: slam.SlamState, solve: SnapshotSolve, config: SlamConfig
+) -> slam.SlamState:
+    """Merge an asynchronous solve back into the live state.
+
+    Keyframes ``i < snapshot_count`` take their optimized poses; newer
+    ones (created while the solve ran) are re-based as
+    ``new_m2o ∘ pose_in_odom`` — the same composition that created them
+    (``icpslam.cpp:76-77``), now with the corrected map→odom. Also resets
+    the map (``:170`` contract, unless disabled) and restarts the window
+    from the keyframes the solve did NOT see.
+    """
+    store = state.keyframes
+    K = store.capacity
+    ids = jnp.arange(K, dtype=jnp.int32)
+    live = ids < store.count
+    in_snap = ids < solve.snapshot_count
+    m2o = solve.map_to_odom
+    rebased = se3.compose(m2o, store.pose_odom)  # (K,) batched compose
+    new_graph = Pose(
+        t=jnp.where(
+            in_snap[:, None], solve.nodes.t,
+            jnp.where(live[:, None], rebased.t, store.pose_graph.t),
+        ),
+        q=jnp.where(
+            in_snap[:, None], solve.nodes.q,
+            jnp.where(live[:, None], rebased.q, store.pose_graph.q),
+        ),
+    )
+    new_map = (
+        map_backend.reset(state.map) if config.reset_map_on_optimize else state.map
+    )
+    return state._replace(
+        keyframes=store._replace(pose_graph=new_graph),
+        map=new_map,
+        map_to_odom=m2o,
+        kf_since_opt=(state.keyframes.count - solve.snapshot_count).astype(jnp.int32),
+        num_optimizations=state.num_optimizations + 1,
+    )
+
+
+class DeferredBackend:
+    """Host-side driver for the pipelined solve.
+
+    Call ``maybe_launch_or_fold(state)`` after every ``slam_step``. The
+    solve is dispatched when the window fills; the fold happens on the
+    first later call whose solve result ``is_ready()`` (or after
+    ``max_lag`` scans, where the fold blocks — the bounded-staleness
+    guarantee). ``flush`` folds any pending solve at end of stream.
+    """
+
+    def __init__(self, config: SlamConfig, max_lag: int = 8):
+        if not config.defer_optimization:
+            raise ValueError("config.defer_optimization must be True")
+        self.config = config
+        self.max_lag = max_lag
+        self._solve = jax.jit(solve_snapshot, static_argnums=(1,))
+        self._fold = jax.jit(fold, static_argnums=(2,))
+        self._pending: Optional[SnapshotSolve] = None
+        self._age = 0
+        self.num_launched = 0
+        self.num_folded = 0
+
+    def maybe_launch_or_fold(self, state: slam.SlamState) -> slam.SlamState:
+        if self._pending is not None:
+            self._age += 1
+            if self._age >= self.max_lag or self._pending.final_cost.is_ready():
+                state = self._fold(state, self._pending, self.config)
+                self._pending = None
+                self.num_folded += 1
+            return state
+        # one scalar sync per scan; on non-tunneled hardware this is µs
+        if int(state.kf_since_opt) >= self.config.keyframes_window:
+            self._pending = self._solve(state, self.config)  # async dispatch
+            self._age = 0
+            self.num_launched += 1
+        return state
+
+    def flush(self, state: slam.SlamState) -> slam.SlamState:
+        if self._pending is not None:
+            state = self._fold(state, self._pending, self.config)
+            self._pending = None
+            self.num_folded += 1
+        return state

@@ -408,7 +408,14 @@ def slam_step(
     )
 
     # ---- 4. windowed optimization (``:149-151, 168-171``) ----------------
-    do_opt = want_kf & (state.kf_since_opt >= config.keyframes_window)
+    # with defer_optimization the solve moves out of the step entirely —
+    # the driver dispatches it asynchronously on a snapshot and folds the
+    # result back (pipeline/deferred.py); the branch compiles out here.
+    do_opt = (
+        want_kf
+        & (state.kf_since_opt >= config.keyframes_window)
+        & (not config.defer_optimization)
+    )
 
     def with_opt(st):
         return _optimize(st, config)

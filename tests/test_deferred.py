@@ -1,0 +1,132 @@
+"""Pipelined (deferred) back-end tests: the async windowed solve must
+match the inline solve's quality while never stalling the stream
+(SURVEY §2.3 pipeline parallelism; pipeline/deferred.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icpslam_tpu.config import IcpConfig, tiny_config
+from icpslam_tpu.eval import metrics
+from icpslam_tpu.geometry import se3
+from icpslam_tpu.io import synthetic
+from icpslam_tpu.pipeline import deferred, slam
+
+
+def cfg_with(**over):
+    base = dict(
+        voxel_leaf_size=0.3,
+        map_resolution=0.3,
+        icp_odometry=IcpConfig(mode="plane", max_iterations=10),
+        icp_mapping=IcpConfig(mode="point", max_iterations=20),
+        max_points=1024,
+        max_raw_points=2048,
+        max_map_points=16384,
+        max_keyframes=64,
+        max_edges=256,
+        keyframes_window=4,
+    )
+    base.update(over)
+    return tiny_config(**base)
+
+
+def stream(cfg, n_poses=24, laps=1.25, seed=0):
+    world = synthetic.make_room_world(seed=seed, n_points=12000)
+    gt = synthetic.make_loop_trajectory(n_poses=n_poses, radius=5.0, laps=laps)
+    scans = list(
+        synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, max_range=12.0,
+            n_points=1200, noise=0.01, seed=seed,
+        )
+    )
+    return scans, gt
+
+
+class TestFold:
+    def test_rebases_keyframes_created_during_solve(self):
+        cfg = cfg_with(defer_optimization=True)
+        scans, gt = stream(cfg, n_poses=10, laps=0.5)
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        state = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        for s in scans:
+            state, _ = step(state, s, cfg)
+        n = int(state.keyframes.count)
+        assert n >= 6
+
+        # snapshot covering only the first half of the keyframes — as if
+        # the later ones arrived while the solve ran
+        snap_state = state._replace(
+            keyframes=state.keyframes._replace(
+                count=jnp.asarray(n // 2, jnp.int32)
+            )
+        )
+        solve = deferred.solve_snapshot(snap_state, cfg)
+        assert int(solve.snapshot_count) == n // 2
+        folded = deferred.fold(state, solve, cfg)
+
+        # snapshot keyframes take the optimized poses
+        np.testing.assert_allclose(
+            np.asarray(folded.keyframes.pose_graph.t)[: n // 2],
+            np.asarray(solve.nodes.t)[: n // 2],
+            atol=1e-6,
+        )
+        # later keyframes are re-based as m2o ∘ pose_odom
+        expect = se3.compose(solve.map_to_odom, state.keyframes.pose_odom)
+        np.testing.assert_allclose(
+            np.asarray(folded.keyframes.pose_graph.t)[n // 2 : n],
+            np.asarray(expect.t)[n // 2 : n],
+            atol=1e-5,
+        )
+        # window restarts from the unseen keyframes; bookkeeping advances
+        assert int(folded.kf_since_opt) == n - n // 2
+        assert int(folded.num_optimizations) == int(state.num_optimizations) + 1
+        if cfg.reset_map_on_optimize:
+            assert int(folded.map.size) == 0
+
+
+class TestDeferredPipeline:
+    def test_matches_inline_quality(self):
+        cfg_in = cfg_with()
+        scans, gt = stream(cfg_in)
+
+        # inline reference
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        st = slam.init_state(cfg_in, initial_pose=se3.index(gt, 0))
+        poses_in = []
+        for s in scans:
+            st, out = step(st, s, cfg_in)
+            poses_in.append(out.pose_map)
+        ate_in, _ = metrics.ate(se3.stack(poses_in), gt, align=False)
+        n_opt_in = int(st.num_optimizations)
+        assert n_opt_in >= 2
+
+        # deferred pipeline (max_lag small so folds happen in-stream)
+        cfg_def = cfg_with(defer_optimization=True)
+        backend = deferred.DeferredBackend(cfg_def, max_lag=3)
+        std = slam.init_state(cfg_def, initial_pose=se3.index(gt, 0))
+        stepd = jax.jit(slam.slam_step, static_argnums=(2,))
+        poses_def = []
+        for s in scans:
+            std, out = stepd(std, s, cfg_def)
+            std = backend.maybe_launch_or_fold(std)
+            poses_def.append(out.pose_map)
+        std = backend.flush(std)
+        ate_def, _ = metrics.ate(se3.stack(poses_def), gt, align=False)
+
+        assert backend.num_launched >= 2
+        assert backend.num_folded == backend.num_launched
+        assert int(std.num_optimizations) == backend.num_folded
+        # same graph, same windows — the correction just lands a few
+        # scans later; end quality must stay comparable
+        assert float(ate_def) < max(2.5 * float(ate_in), 0.25), (
+            float(ate_def), float(ate_in),
+        )
+        # final keyframe graph stays finite + consistent
+        n = int(std.keyframes.count)
+        assert np.isfinite(np.asarray(std.keyframes.pose_graph.t)[:n]).all()
+
+    def test_backend_requires_deferred_config(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            deferred.DeferredBackend(cfg_with())

@@ -107,6 +107,113 @@ def bench_full_slam(jax, cfg, scans, gt, donate: bool = True):
     return (len(scans) - n_warm) / dt
 
 
+def _prefill_graph(jax, state, cfg, n_fill):
+    """Late-mission state: ``n_fill`` keyframes already in the graph
+    (placed far away so loop-closure proposals never fire), chained by
+    consistent sequential edges. The next windowed solve runs at the
+    full live size — the regime where back-end latency actually matters."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from icpslam_tpu.geometry import se3
+    from icpslam_tpu.graph import pose_graph as pg
+
+    K = state.keyframes.capacity
+    n_fill = min(n_fill, K - 4)
+    t = np.zeros((K, 3), np.float32)
+    t[:n_fill, 0] = np.arange(n_fill) * 2.0
+    t[:n_fill, 2] = -1000.0  # far below the world: never a loop candidate
+    poses = se3.Pose(t=jnp.asarray(t), q=se3.identity((K,)).q)
+    store = state.keyframes._replace(
+        pose_odom=poses, pose_graph=poses,
+        count=jnp.asarray(n_fill, jnp.int32),
+    )
+    # build the sequential-edge arrays in one shot (a Python add_edge
+    # loop would dispatch ~500 eager ops through the tunnel)
+    E = state.edges.capacity
+    ne = n_fill - 1
+    ei = np.zeros((E,), np.int32)
+    ej = np.zeros((E,), np.int32)
+    ei[:ne] = np.arange(ne)
+    ej[:ne] = np.arange(1, ne + 1)
+    rel_t = np.zeros((E, 3), np.float32)
+    rel_t[:ne, 0] = 2.0
+    valid = np.zeros((E,), bool)
+    valid[:ne] = True
+    edges = state.edges._replace(
+        i=jnp.asarray(ei), j=jnp.asarray(ej), rel_t=jnp.asarray(rel_t),
+        rel_q=se3.identity((E,)).q,
+        info=jnp.broadcast_to(100.0 * jnp.eye(6), (E, 6, 6)),
+        valid=jnp.asarray(valid), count=jnp.asarray(ne, jnp.int32),
+    )
+    return state._replace(keyframes=store, edges=edges)
+
+
+def bench_deferred_slam(jax, cfg, scans, gt):
+    """Late-mission back-end comparison: inline vs pipelined solve.
+
+    With ~500 live keyframes every windowed solve is a full-size
+    factorization (~43 ms at K=512); the reference's loop (and our
+    inline mode) stalls the stream for it, the deferred mode
+    (``pipeline/deferred.py``) hides it behind the next scans' front-end
+    work. Returns (inline_sps, deferred_sps)."""
+    import dataclasses
+
+    from icpslam_tpu.geometry import se3
+    from icpslam_tpu.pipeline import deferred, slam
+
+    base = dataclasses.replace(cfg, graph_bucketing=False,
+                               enable_loop_closure=False)
+    dcfg = dataclasses.replace(base, defer_optimization=True)
+    # leave room for every timed scan to add a keyframe (once the store
+    # is full, keyframing and therefore solving stops)
+    n_fill = cfg.max_keyframes - 40
+    dev = jax.devices()[0]
+
+    def fresh(c):
+        st = jax.device_put(slam.init_state(c, se3.index(gt, 0)), dev)
+        return jax.device_put(_prefill_graph(jax, st, c, n_fill), dev)
+
+    n_warm = min(4, len(scans) - 1)
+
+    # inline: solve runs inside slam_step every keyframes_window
+    step = jax.jit(slam.slam_step, static_argnums=(2,))
+    state = fresh(base)
+    for i in range(n_warm):
+        state, _ = step(state, scans[i], base)
+    jax.block_until_ready(state)
+    state = fresh(base)
+    for i in range(n_warm):
+        state, _ = step(state, scans[i], base)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(n_warm, len(scans)):
+        state, _ = step(state, scans[i], base)
+    jax.block_until_ready(state)
+    inline_sps = (len(scans) - n_warm) / (time.perf_counter() - t0)
+
+    # deferred: solve dispatched async, trigger checked once per window
+    dstep = jax.jit(slam.slam_step, static_argnums=(2,))
+
+    def drive(state, backend, lo, hi):
+        for i in range(lo, hi):
+            state, _ = dstep(state, scans[i], dcfg)
+            state = backend.maybe_launch_or_fold(state)
+        return state
+
+    backend = deferred.DeferredBackend(dcfg, check_every=cfg.keyframes_window)
+    state = backend.flush(drive(fresh(dcfg), backend, 0, min(10, len(scans))))
+    jax.block_until_ready(state)
+    backend = deferred.DeferredBackend(dcfg, check_every=cfg.keyframes_window)
+    state = drive(fresh(dcfg), backend, 0, n_warm)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state = backend.flush(drive(state, backend, n_warm, len(scans)))
+    jax.block_until_ready(state)
+    deferred_sps = (len(scans) - n_warm) / (time.perf_counter() - t0)
+    return inline_sps, deferred_sps
+
+
 def bench_odometry(jax, cfg, scans, gt, n_warm, chunk=10):
     """Front-end odometry throughput (chunked lax.scan driving)."""
     import jax.numpy as jnp
@@ -292,6 +399,12 @@ def main() -> int:
 
     import jax
 
+    # persistent compilation cache: pipeline-scale jits take minutes to
+    # compile over the tunneled chip; cache them across runs (the tests'
+    # conftest does the same for CPU)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/icpslam_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.cpu:
         # env vars are too late once sitecustomize registered the TPU
         # plugin; the config API still switches the platform.
@@ -357,6 +470,15 @@ def main() -> int:
             )
 
     if args.suite:
+        inline_sps, def_sps = bench_deferred_slam(jax, cfg, scans, gt)
+        print(
+            json.dumps({"metric": "late_mission_slam_scans_per_sec",
+                        "value": {"inline_solve": round(inline_sps, 3),
+                                  "pipelined_solve": round(def_sps, 3)},
+                        "unit": "scans/s at ~504 live keyframes "
+                        "(full-size solve every window)"}),
+            file=sys.stderr,
+        )
         odo_sps = bench_odometry(jax, cfg, scans, gt, n_warm)
         print(
             json.dumps({"metric": "gicp_odometry_scans_per_sec",

@@ -423,6 +423,11 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/icpslam_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache already configured (e.g. under pytest)
 
     if args.config:
         cfg = _config_from_yaml_args(ap, args)

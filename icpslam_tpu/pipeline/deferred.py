@@ -140,15 +140,22 @@ class DeferredBackend:
     guarantee). ``flush`` folds any pending solve at end of stream.
     """
 
-    def __init__(self, config: SlamConfig, max_lag: int = 8):
+    def __init__(self, config: SlamConfig, max_lag: int = 8, check_every: int = 1):
         if not config.defer_optimization:
             raise ValueError("config.defer_optimization must be True")
         self.config = config
         self.max_lag = max_lag
+        # the launch trigger reads ONE device scalar (kf_since_opt) — µs
+        # on a local host, but a full round-trip on a tunneled backend.
+        # check_every > 1 rate-limits that readback; the solve then
+        # launches up to check_every-1 scans late, which the fold's
+        # re-basing absorbs like any other lag.
+        self.check_every = max(1, check_every)
         self._solve = jax.jit(solve_snapshot, static_argnums=(1,))
         self._fold = jax.jit(fold, static_argnums=(2,))
         self._pending: Optional[SnapshotSolve] = None
         self._age = 0
+        self._since_check = 0
         self.num_launched = 0
         self.num_folded = 0
 
@@ -160,11 +167,13 @@ class DeferredBackend:
                 self._pending = None
                 self.num_folded += 1
             return state
-        # one scalar sync per scan; on non-tunneled hardware this is µs
-        if int(state.kf_since_opt) >= self.config.keyframes_window:
-            self._pending = self._solve(state, self.config)  # async dispatch
-            self._age = 0
-            self.num_launched += 1
+        self._since_check += 1
+        if self._since_check >= self.check_every:
+            self._since_check = 0
+            if int(state.kf_since_opt) >= self.config.keyframes_window:
+                self._pending = self._solve(state, self.config)  # async dispatch
+                self._age = 0
+                self.num_launched += 1
         return state
 
     def flush(self, state: slam.SlamState) -> slam.SlamState:

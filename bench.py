@@ -475,7 +475,7 @@ def main() -> int:
             json.dumps({"metric": "late_mission_slam_scans_per_sec",
                         "value": {"inline_solve": round(inline_sps, 3),
                                   "pipelined_solve": round(def_sps, 3)},
-                        "unit": "scans/s at ~504 live keyframes "
+                        "unit": "scans/s at ~472 live keyframes "
                         "(full-size solve every window)"}),
             file=sys.stderr,
         )

@@ -47,11 +47,12 @@ def measure_reference(timeout_s: float = 120.0):
     native = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
     binary = os.path.join(native, "gicp_ref")
     try:
-        if not os.path.exists(binary):
-            subprocess.run(
-                ["make", "-C", native, "gicp_ref"],
-                check=True, capture_output=True, timeout=timeout_s,
-            )
+        # always invoke make (incremental): a stale binary from an edited
+        # gicp_ref.cpp — or a foreign host's ISA — must never be measured
+        subprocess.run(
+            ["make", "-C", native, "gicp_ref"],
+            check=True, capture_output=True, timeout=timeout_s,
+        )
         out = subprocess.run(
             [binary, "8192", "10"], check=True, capture_output=True,
             timeout=timeout_s, text=True,
@@ -78,7 +79,7 @@ def _make_stream(jax, cfg, n_scans, warmup):
     return scans, gt
 
 
-def bench_full_slam(jax, cfg, scans, gt, donate: bool = True):
+def bench_full_slam(jax, cfg, scans, gt, donate: bool = False):
     """Full slam_step throughput (odometry + scan-to-map + keyframes +
     loop closure + windowed graph solve) — the headline.
 
@@ -89,6 +90,8 @@ def bench_full_slam(jax, cfg, scans, gt, donate: bool = True):
     from icpslam_tpu.geometry import se3
     from icpslam_tpu.pipeline import slam
 
+    # donate stays opt-in: donating the SlamState crashes AND poisons the
+    # tunneled axon TPU client (see main() NOTE / CLAUDE.md)
     kw = dict(static_argnums=(2,))
     if donate:
         kw["donate_argnums"] = (0,)

@@ -83,6 +83,16 @@ def read_times(root: str, seq: str) -> np.ndarray:
     return np.loadtxt(path, dtype=np.float64).reshape(-1)
 
 
+def _pad_stamps(stamps: np.ndarray, n: int) -> np.ndarray:
+    """Extend a (possibly truncated) stamp array to n entries at a 10 Hz
+    continuation — a short times.txt must not abort a long run mid-stream."""
+    if stamps.shape[0] >= n:
+        return stamps
+    last = float(stamps[-1]) if stamps.shape[0] else 0.0
+    extra = last + 0.1 * np.arange(1, n - stamps.shape[0] + 1)
+    return np.concatenate([stamps, extra])
+
+
 def scan_files(root: str, seq: str) -> List[str]:
     d = os.path.join(root, "sequences", seq, "velodyne")
     return sorted(
@@ -108,6 +118,7 @@ def scan_stream(
             stamps = read_times(root, seq)[start:end]
         except (FileNotFoundError, OSError):
             stamps = np.arange(start, start + len(files), dtype=np.float64) * 0.1
+        stamps = _pad_stamps(stamps, len(files))
     for i, f in enumerate(files):
         pts = read_scan(f, max_points=max_points or capacity, seed=i)
         cloud = pc.from_points(pts, capacity=capacity)

@@ -165,6 +165,7 @@ def scan_stream(
             stamps = kitti.read_times(root, seq)[start:end]
         except (FileNotFoundError, OSError):
             stamps = np.arange(start, start + len(files), dtype=np.float64) * 0.1
+        stamps = kitti._pad_stamps(stamps, len(files))
     if available():
         it = iter(PrefetchingLoader(files, capacity, threads=threads, depth=depth))
     else:

@@ -117,6 +117,9 @@ def run_slam(
     log = logger or Logger(level=config.verbosity)
     if state is None:
         state = slam.init_state(config, initial_pose)
+    # committed-ness is part of the jit cache key: an uncommitted fresh
+    # state would make the SECOND step recompile the whole pipeline
+    state = jax.device_put(state, jax.devices()[0])
     poses = []
     per_scan = []
     step_ms: List[float] = []
@@ -197,6 +200,8 @@ def run_slam(
     # path (live debug logging needs the values now).
     sync_metrics = config.verbosity >= 2
     packed_recs = []
+    t_block = time.perf_counter()
+    n_block = 0
     for i, item in enumerate(scans):
         scan, stamp = split(item)
         ts0 = time.perf_counter()
@@ -244,10 +249,24 @@ def run_slam(
             )
         if post_step is not None:
             state = post_step(state)
-        step_ms.append((time.perf_counter() - ts0) * 1000.0)
-        # bound the async in-flight queue (and its device memory)
-        if not sync_metrics and i % 64 == 63:
-            jax.block_until_ready(state.slam_pose.t)
+        if sync_metrics:
+            step_ms.append((time.perf_counter() - ts0) * 1000.0)
+        else:
+            # async mode: per-scan wall times would be dispatch-only
+            # artifacts (CLAUDE.md's 'absurdly low times' trap) — record
+            # the honest per-scan average at each sync boundary instead
+            n_block += 1
+            if i % 64 == 63:
+                # bounds the async in-flight queue + yields real timing
+                jax.block_until_ready(state.slam_pose.t)
+                dt_ms = (time.perf_counter() - t_block) * 1000.0
+                step_ms.extend([dt_ms / n_block] * n_block)
+                t_block = time.perf_counter()
+                n_block = 0
+    if not sync_metrics and n_block:
+        jax.block_until_ready(state.slam_pose.t)
+        dt_ms = (time.perf_counter() - t_block) * 1000.0
+        step_ms.extend([dt_ms / n_block] * n_block)
     if not sync_metrics and packed_recs:
         allrec = np.asarray(jnp.stack(packed_recs))  # ONE device->host fetch
         for i, r in enumerate(allrec):
@@ -301,10 +320,10 @@ _CLI_CONFIG_FIELDS = {
 }
 
 
-def _config_from_yaml_args(ap, args) -> SlamConfig:
-    """--config yaml base + explicitly-passed CLI flags as overrides."""
-    from icpslam_tpu import config as config_mod
-
+def _explicit_overrides(ap, args) -> dict:
+    """Config overrides for CLI flags the user explicitly passed
+    (detected against the parser defaults — the reference's
+    launch-arg-over-yaml precedence)."""
     overrides = {}
     for dest, field in _CLI_CONFIG_FIELDS.items():
         val = getattr(args, dest)
@@ -313,7 +332,27 @@ def _config_from_yaml_args(ap, args) -> SlamConfig:
     if args.extrinsic:
         ext_t, ext_q = _parse_extrinsic(args.extrinsic)
         overrides.update(laser_extrinsic_t=ext_t, laser_extrinsic_q=ext_q)
-    return config_mod.from_yaml(args.config, **overrides)
+    return overrides
+
+
+def _apply_icp_mode(cfg: SlamConfig, ap, args) -> SlamConfig:
+    """--icp-mode, when explicitly passed, overrides the odometry ICP
+    mode on top of any config source."""
+    if args.icp_mode != ap.get_default("icp_mode"):
+        import dataclasses as _dc
+
+        cfg = cfg.replace(
+            icp_odometry=_dc.replace(cfg.icp_odometry, mode=args.icp_mode)
+        )
+    return cfg
+
+
+def _config_from_yaml_args(ap, args) -> SlamConfig:
+    """--config yaml base + explicitly-passed CLI flags as overrides."""
+    from icpslam_tpu import config as config_mod
+
+    cfg = config_mod.from_yaml(args.config, **_explicit_overrides(ap, args))
+    return _apply_icp_mode(cfg, ap, args)
 
 
 def _build_config(args) -> SlamConfig:
@@ -434,17 +473,19 @@ def main(argv=None) -> int:
     elif args.kitti_proxy:
         from icpslam_tpu.config import kitti_config
 
-        ext_t, ext_q = _parse_extrinsic(args.extrinsic)
-        cfg = kitti_config(
+        # kitti_config base + whatever CLI flags were explicitly passed
+        # (previously --voxel etc. were silently ignored in proxy mode)
+        kw = dict(
             num_clouds_skip=args.skip,
             verbosity=args.verbosity,
-            laser_extrinsic_t=ext_t,
-            laser_extrinsic_q=ext_q,
             max_raw_points=args.max_raw_points,
             max_map_points=args.max_map_points,
             max_keyframes=args.max_keyframes,
             max_edges=args.max_keyframes * 4,
         )
+        kw.update(_explicit_overrides(ap, args))  # explicit flags win
+        cfg = kitti_config(**kw)
+        cfg = _apply_icp_mode(cfg, ap, args)
     else:
         cfg = _build_config(args)
     log = Logger(level=args.verbosity)
@@ -463,6 +504,11 @@ def main(argv=None) -> int:
             # scans costs ~3 min of host time; the pipeline does not)
             data = np.load(cache)
             n = min(args.poses, int(data["gt_t"].shape[0]))
+            if n < args.poses:
+                log.warn(
+                    f"scan cache holds only {n} scans; running {n}, "
+                    f"not the requested {args.poses}"
+                )
             gt = Pose(
                 t=jnp.asarray(data["gt_t"][:n]), q=jnp.asarray(data["gt_q"][:n])
             )
@@ -535,7 +581,9 @@ def main(argv=None) -> int:
         if args.chunk != 1:
             raise SystemExit("--deferred-optimize requires --chunk 1")
         cfg = _dc.replace(cfg, defer_optimization=True)
-        backend = deferred.DeferredBackend(cfg)
+        backend = deferred.DeferredBackend(
+            cfg, check_every=cfg.keyframes_window
+        )
         post_step = backend.maybe_launch_or_fold
 
     resume_state = None
@@ -594,7 +642,7 @@ def main(argv=None) -> int:
                         "kitti_proxy" if args.kitti_proxy
                         else ("synthetic" if args.synthetic else f"kitti_{args.seq}")
                     ),
-                    "poses": args.poses,
+                    "poses": n,  # scans actually run (cache may be shorter)
                     "backend": jax.default_backend(),
                 },
                 f, indent=1,

@@ -38,21 +38,34 @@ class RunResult:
     state: slam.SlamState
     wall_time: float
     step_ms: List[float] = dataclasses.field(default_factory=list)
-    # per-scan device+sync wall time (chunked: flush time / live scans)
+    # per-scan device+sync wall time (chunked: flush time / live scans);
+    # EXCLUDES the first step/chunk (jit compile) — see compile_ms
+    compile_ms: Optional[float] = None
+    # first-dispatch wall time (dominated by jit compilation; kept out of
+    # step_ms so mean/p95 are usable regression signals — VERDICT r2 #9)
+    stamp_origin: Optional[float] = None
+    # first sensor stamp of the stream (float64). Stamps threaded into the
+    # float32 device state are origin-relative — epoch-scale timestamps
+    # would lose ~100 µs-scale precision otherwise (ADVICE r2). Add this
+    # back when exporting absolute times.
 
     def timing_summary(self) -> dict:
         """Percentile step-time stats for the run summary (SURVEY §5.1:
         per-scan timing; lets perf regressions be localized per run)."""
+        out = {}
+        if self.compile_ms is not None:
+            out["compile_ms"] = round(self.compile_ms, 1)
         if not self.step_ms:
-            return {}
+            return out
         a = np.sort(np.asarray(self.step_ms, np.float64))
         pick = lambda p: float(a[min(len(a) - 1, int(p * len(a)))])
-        return {
+        out.update({
             "step_ms_mean": round(float(a.mean()), 3),
             "step_ms_p50": round(pick(0.50), 3),
             "step_ms_p95": round(pick(0.95), 3),
             "step_ms_max": round(float(a[-1]), 3),
-        }
+        })
+        return out
 
 
 def _records_from_chunk(out: slam.SlamOutput, base: int, live: int) -> List[dict]:
@@ -73,7 +86,7 @@ def _records_from_chunk(out: slam.SlamOutput, base: int, live: int) -> List[dict
             "icp_iterations": int(it[i]),
             "refined": bool(ref[i]),
             "new_keyframe": bool(nk[i]),
-            "loop_closure": bool(lc[i]),
+            "loop_closure": int(lc[i]),
             "optimized": bool(opt[i]),
             "graph_cost": float(cost[i]),
             "map_size": int(ms[i]),
@@ -123,13 +136,22 @@ def run_slam(
     poses = []
     per_scan = []
     step_ms: List[float] = []
+    compile_ms: Optional[float] = None
+    stamp_origin: Optional[float] = None
     t0 = time.perf_counter()
 
     def split(item):
+        # stamps stay float64 host-side; the float32 device state carries
+        # origin-relative times (epoch-scale stamps would lose ~100 µs of
+        # precision in float32 — ADVICE r2). RunResult.stamp_origin holds
+        # the subtracted origin for absolute-time exports.
+        nonlocal stamp_origin
         if isinstance(item, pc.PointCloud):
             return item, None
         cloud, stamp = item
-        return cloud, float(stamp)
+        if stamp_origin is None:
+            stamp_origin = float(stamp)
+        return cloud, float(stamp) - stamp_origin
 
     if chunk > 1:
         run = jax.jit(slam.run_scans, static_argnums=(2,))
@@ -148,10 +170,15 @@ def run_slam(
             stamps = (
                 jax.numpy.asarray(stamp_buf, jax.numpy.float32) if stamped else None
             )
+            nonlocal compile_ms
             tf0 = time.perf_counter()
             state, outs = run(state, _stack_clouds(buf), config, stamps)
             recs = _records_from_chunk(outs, done, live)  # syncs on outputs
-            step_ms.extend([(time.perf_counter() - tf0) * 1000.0 / live] * live)
+            dt_ms = (time.perf_counter() - tf0) * 1000.0
+            if done == 0:
+                compile_ms = dt_ms  # first chunk = jit compile; keep it
+            else:                   # out of the step percentiles
+                step_ms.extend([dt_ms / live] * live)
             per_scan.extend(recs)
             poses.append(
                 Pose(t=outs.pose_map.t[:live], q=outs.pose_map.q[:live])
@@ -186,7 +213,7 @@ def run_slam(
         )
         return RunResult(
             trajectory=traj, per_scan=per_scan, state=state, wall_time=wall,
-            step_ms=step_ms,
+            step_ms=step_ms, compile_ms=compile_ms, stamp_origin=stamp_origin,
         )
 
     jnp = jax.numpy
@@ -194,7 +221,7 @@ def run_slam(
     # per-scan metrics handling: converting outputs to Python scalars
     # forces a device sync every scan — over the tunneled TPU that costs
     # more than the step itself (~hundreds of ms of round-trips + it
-    # stalls JAX's async pipeline). Default: pack the 12 metric scalars
+    # stalls JAX's async pipeline). Default: pack the 11 metric scalars
     # into ONE device vector per scan (async) and fetch them all in one
     # transfer at the end. verbosity >= 2 keeps the synchronous per-scan
     # path (live debug logging needs the values now).
@@ -219,8 +246,9 @@ def run_slam(
                 "icp_iterations": int(out.odom_out.iterations),
                 "refined": bool(out.refined),
                 "new_keyframe": bool(out.new_keyframe),
-                "loop_closure": bool(out.loop_closure),
+                "loop_closure": int(out.loop_closure),
                 "optimized": bool(out.optimized),
+                "graph_cost": float(out.graph_cost),
                 "map_size": int(out.map_size),
                 "num_keyframes": int(out.num_keyframes),
             }
@@ -250,7 +278,17 @@ def run_slam(
         if post_step is not None:
             state = post_step(state)
         if sync_metrics:
-            step_ms.append((time.perf_counter() - ts0) * 1000.0)
+            dt_ms = (time.perf_counter() - ts0) * 1000.0
+            if i == 0:
+                compile_ms = dt_ms  # first step = jit compile
+            else:
+                step_ms.append(dt_ms)
+        elif i == 0:
+            # isolate the first-step compile from the timing blocks (it
+            # was already a serialization point; blocking here is free)
+            jax.block_until_ready(state.slam_pose.t)
+            compile_ms = (time.perf_counter() - t_block) * 1000.0
+            t_block = time.perf_counter()
         else:
             # async mode: per-scan wall times would be dispatch-only
             # artifacts (CLAUDE.md's 'absurdly low times' trap) — record
@@ -278,15 +316,17 @@ def run_slam(
                 "icp_iterations": int(r[3]),
                 "refined": bool(r[4]),
                 "new_keyframe": bool(r[5]),
-                "loop_closure": bool(r[6]),
+                "loop_closure": int(r[6]),
                 "optimized": bool(r[7]),
+                "graph_cost": float(r[10]),
                 "map_size": int(r[8]),
                 "num_keyframes": int(r[9]),
             })
     wall = time.perf_counter() - t0
     return RunResult(
         trajectory=se3.stack(poses), per_scan=per_scan, state=state,
-        wall_time=wall, step_ms=step_ms,
+        wall_time=wall, step_ms=step_ms, compile_ms=compile_ms,
+        stamp_origin=stamp_origin,
     )
 
 
@@ -319,15 +359,39 @@ _CLI_CONFIG_FIELDS = {
     "verbosity": "verbosity",
 }
 
+# overridable flags parse with default=None so PRESENCE, not value,
+# decides precedence (ADVICE r2: '--voxel 0.2' passed explicitly must
+# beat a yaml value even when it equals the parser default); these are
+# the effective defaults applied when the flag is absent
+_CLI_DEFAULTS = {
+    "voxel": 0.2,
+    "map_resolution": 0.2,
+    "icp_mode": "plane",
+    "skip": 0,
+    "keyframe_distance": 0.3,
+    "window": 4,
+    "max_points": 8192,
+    "max_raw_points": 131072,
+    "max_map_points": 262144,
+    "max_keyframes": 512,
+    "verbosity": 1,
+}
+
+
+def _eff(args, dest):
+    """Effective flag value: what was passed, else the documented default."""
+    val = getattr(args, dest)
+    return _CLI_DEFAULTS[dest] if val is None else val
+
 
 def _explicit_overrides(ap, args) -> dict:
     """Config overrides for CLI flags the user explicitly passed
-    (detected against the parser defaults — the reference's
-    launch-arg-over-yaml precedence)."""
+    (``default=None`` sentinel — presence, not value, decides; the
+    reference's launch-arg-over-yaml precedence)."""
     overrides = {}
     for dest, field in _CLI_CONFIG_FIELDS.items():
         val = getattr(args, dest)
-        if val != ap.get_default(dest):
+        if val is not None:
             overrides[field] = val
     if args.extrinsic:
         ext_t, ext_q = _parse_extrinsic(args.extrinsic)
@@ -338,7 +402,7 @@ def _explicit_overrides(ap, args) -> dict:
 def _apply_icp_mode(cfg: SlamConfig, ap, args) -> SlamConfig:
     """--icp-mode, when explicitly passed, overrides the odometry ICP
     mode on top of any config source."""
-    if args.icp_mode != ap.get_default("icp_mode"):
+    if args.icp_mode is not None:
         import dataclasses as _dc
 
         cfg = cfg.replace(
@@ -360,19 +424,19 @@ def _build_config(args) -> SlamConfig:
     return SlamConfig(
         laser_extrinsic_t=ext_t,
         laser_extrinsic_q=ext_q,
-        voxel_leaf_size=args.voxel,
-        map_resolution=args.map_resolution,
-        icp_odometry=IcpConfig(mode=args.icp_mode, max_iterations=10),
+        voxel_leaf_size=_eff(args, "voxel"),
+        map_resolution=_eff(args, "map_resolution"),
+        icp_odometry=IcpConfig(mode=_eff(args, "icp_mode"), max_iterations=10),
         icp_mapping=IcpConfig(mode="point", max_iterations=30),
-        num_clouds_skip=args.skip,
-        max_points=args.max_points,
-        max_raw_points=args.max_raw_points,
-        max_map_points=args.max_map_points,
-        max_keyframes=args.max_keyframes,
-        max_edges=args.max_keyframes * 4,
-        keyframe_distance=args.keyframe_distance,
-        keyframes_window=args.window,
-        verbosity=args.verbosity,
+        num_clouds_skip=_eff(args, "skip"),
+        max_points=_eff(args, "max_points"),
+        max_raw_points=_eff(args, "max_raw_points"),
+        max_map_points=_eff(args, "max_map_points"),
+        max_keyframes=_eff(args, "max_keyframes"),
+        max_edges=_eff(args, "max_keyframes") * 4,
+        keyframe_distance=_eff(args, "keyframe_distance"),
+        keyframes_window=_eff(args, "window"),
+        verbosity=_eff(args, "verbosity"),
     )
 
 
@@ -391,17 +455,23 @@ def main(argv=None) -> int:
     ap.add_argument("--poses", type=int, default=40, help="synthetic trajectory length")
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--end", type=int, default=None)
-    ap.add_argument("--voxel", type=float, default=0.2)
-    ap.add_argument("--map-resolution", type=float, default=0.2)
-    ap.add_argument("--icp-mode", choices=["point", "plane"], default="plane")
-    ap.add_argument("--skip", type=int, default=0)
-    ap.add_argument("--keyframe-distance", type=float, default=0.3)
-    ap.add_argument("--window", type=int, default=4)
-    ap.add_argument("--max-points", type=int, default=8192)
-    ap.add_argument("--max-raw-points", type=int, default=131072)
-    ap.add_argument("--max-map-points", type=int, default=262144)
-    ap.add_argument("--max-keyframes", type=int, default=512)
-    ap.add_argument("--verbosity", type=int, default=1)
+    # overridable config flags parse with default=None (presence detection,
+    # see _CLI_DEFAULTS); documented defaults live in that dict
+    ap.add_argument("--voxel", type=float, default=None, help="default 0.2")
+    ap.add_argument("--map-resolution", type=float, default=None, help="default 0.2")
+    ap.add_argument("--icp-mode", choices=["point", "plane"], default=None,
+                    help="default plane")
+    ap.add_argument("--skip", type=int, default=None, help="default 0")
+    ap.add_argument("--keyframe-distance", type=float, default=None,
+                    help="default 0.3")
+    ap.add_argument("--window", type=int, default=None, help="default 4")
+    ap.add_argument("--max-points", type=int, default=None, help="default 8192")
+    ap.add_argument("--max-raw-points", type=int, default=None,
+                    help="default 131072")
+    ap.add_argument("--max-map-points", type=int, default=None,
+                    help="default 262144")
+    ap.add_argument("--max-keyframes", type=int, default=None, help="default 512")
+    ap.add_argument("--verbosity", type=int, default=None, help="default 1")
     ap.add_argument(
         "--extrinsic", type=str, default=None,
         help="laser pose in the robot frame, 'x,y,z' or 'x,y,z,qw,qx,qy,qz'"
@@ -475,20 +545,14 @@ def main(argv=None) -> int:
 
         # kitti_config base + whatever CLI flags were explicitly passed
         # (previously --voxel etc. were silently ignored in proxy mode)
-        kw = dict(
-            num_clouds_skip=args.skip,
-            verbosity=args.verbosity,
-            max_raw_points=args.max_raw_points,
-            max_map_points=args.max_map_points,
-            max_keyframes=args.max_keyframes,
-            max_edges=args.max_keyframes * 4,
-        )
-        kw.update(_explicit_overrides(ap, args))  # explicit flags win
+        kw = _explicit_overrides(ap, args)
+        if "max_keyframes" in kw:
+            kw.setdefault("max_edges", kw["max_keyframes"] * 4)
         cfg = kitti_config(**kw)
         cfg = _apply_icp_mode(cfg, ap, args)
     else:
         cfg = _build_config(args)
-    log = Logger(level=args.verbosity)
+    log = Logger(level=cfg.verbosity)
     gt = None
 
     if args.kitti_proxy:
@@ -624,6 +688,7 @@ def main(argv=None) -> int:
         "optimizations": int(res.state.num_optimizations),
         "map_size": int(res.state.map.size),
         "map_overflow": int(res.state.map.overflow),
+        **({"stamp_origin": res.stamp_origin} if res.stamp_origin else {}),
         **res.timing_summary(),
     }
     if gt is not None and gt.t.shape[0] == n:

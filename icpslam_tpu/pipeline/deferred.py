@@ -145,15 +145,19 @@ class DeferredBackend:
             raise ValueError("config.defer_optimization must be True")
         self.config = config
         self.max_lag = max_lag
-        # the launch trigger reads ONE device scalar (kf_since_opt) — µs
-        # on a local host, but a full round-trip on a tunneled backend.
-        # check_every > 1 rate-limits that readback; the solve then
-        # launches up to check_every-1 scans late, which the fold's
-        # re-basing absorbs like any other lag.
+        # launch-trigger cadence: how often to (re)arm the async probe of
+        # kf_since_opt. The probe is polled with ``is_ready()`` and only
+        # read once ready, so the host NEVER blocks on the trigger
+        # (ADVICE r2: the old ``int(state.kf_since_opt)`` stalled the host
+        # behind the just-dispatched slam_step once per check). The solve
+        # launches a few scans after the window actually fills — which
+        # the fold's re-basing absorbs like any other lag.
         self.check_every = max(1, check_every)
         self._solve = jax.jit(solve_snapshot, static_argnums=(1,))
         self._fold = jax.jit(fold, static_argnums=(2,))
         self._pending: Optional[SnapshotSolve] = None
+        self._probe = None  # in-flight async copy of state.kf_since_opt
+        self._probe_age = 0
         self._age = 0
         self._since_check = 0
         self.num_launched = 0
@@ -165,20 +169,44 @@ class DeferredBackend:
             if self._age >= self.max_lag or self._pending.final_cost.is_ready():
                 state = self._fold(state, self._pending, self.config)
                 self._pending = None
+                self._probe = None
                 self.num_folded += 1
             return state
-        self._since_check += 1
-        if self._since_check >= self.check_every:
-            self._since_check = 0
-            if int(state.kf_since_opt) >= self.config.keyframes_window:
-                self._pending = self._solve(state, self.config)  # async dispatch
-                self._age = 0
-                self.num_launched += 1
+        if self._probe is not None:
+            self._probe_age += 1
+            # block on the probe only once it is max_lag polls stale —
+            # the host must not outrun the device forever or launches
+            # would be skipped entirely (the trigger would never observe
+            # a filled window). Worst case: one sync per max_lag scans,
+            # vs one per check before (ADVICE r2).
+            if self._probe.is_ready() or self._probe_age >= self.max_lag:
+                if int(self._probe) >= self.config.keyframes_window:
+                    self._pending = self._solve(state, self.config)  # async
+                    self._probe = None
+                    self._age = 0
+                    self.num_launched += 1
+                    return state
+                self._probe = None
+        if self._probe is None:
+            self._since_check += 1
+            if self._since_check >= self.check_every:
+                self._since_check = 0
+                self._probe = state.kf_since_opt  # async dispatch readback
+                self._probe_age = 0
         return state
 
     def flush(self, state: slam.SlamState) -> slam.SlamState:
+        """Fold any pending solve; then, if the window has filled with no
+        solve in flight, run the due solve synchronously — end-of-stream
+        parity with the inline back-end."""
         if self._pending is not None:
             state = self._fold(state, self._pending, self.config)
             self._pending = None
+            self.num_folded += 1
+        self._probe = None
+        if int(state.kf_since_opt) >= self.config.keyframes_window:
+            solve = self._solve(state, self.config)
+            state = self._fold(state, solve, self.config)
+            self.num_launched += 1
             self.num_folded += 1
         return state

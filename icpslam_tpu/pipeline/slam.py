@@ -67,7 +67,7 @@ class SlamOutput(NamedTuple):
     refined: jnp.ndarray       # bool: scan-to-map refinement succeeded
     new_keyframe: jnp.ndarray  # bool
     keyframe_index: jnp.ndarray
-    loop_closure: jnp.ndarray  # bool: a loop edge was added this step
+    loop_closure: jnp.ndarray  # int32: loop edges added this step (0 = none)
     optimized: jnp.ndarray     # bool: graph optimization ran this step
     graph_cost: jnp.ndarray    # final cost of the last optimization (inf before)
     map_size: jnp.ndarray
@@ -171,7 +171,7 @@ def _try_loop_closure(
         new_covs = odo.compute_covariances(new_cloud, icfg) if plane else None
         n_src = jnp.maximum(new_cloud.count(), 1).astype(jnp.float32)
         edges = state.edges
-        any_ok = jnp.asarray(False)
+        n_ok = jnp.asarray(0, jnp.int32)
         for c in range(k):
             cand = cands[c].astype(jnp.int32)
             cand_cloud = pc.PointCloud(
@@ -202,11 +202,11 @@ def _try_loop_closure(
                 _information(config.loop_information),
                 enable=ok,
             )
-            any_ok = any_ok | ok
-        return edges, any_ok
+            n_ok = n_ok + ok.astype(jnp.int32)
+        return edges, n_ok
 
     def no(_):
-        return state.edges, jnp.asarray(False)
+        return state.edges, jnp.asarray(0, jnp.int32)
 
     return jax.lax.cond(any_cand, verify, no, operand=None)
 
@@ -390,18 +390,19 @@ def slam_step(
             wheel_at_last_kf=state.robot_odom.pose,
             wheel_kf_valid=state.robot_odom.initialized,
         )
-        # loop closure proposal for this keyframe
+        # loop closure proposal for this keyframe (lc = edges added, every
+        # verified candidate counts — ADVICE r2: any_ok undercounted)
         if config.enable_loop_closure:
             edges3, lc = _try_loop_closure(st, new_idx, node_pose, config)
             st = st._replace(
-                edges=edges3, num_loop_closures=st.num_loop_closures + lc.astype(jnp.int32)
+                edges=edges3, num_loop_closures=st.num_loop_closures + lc
             )
         else:
-            lc = jnp.asarray(False)
+            lc = jnp.asarray(0, jnp.int32)
         return st, new_idx, lc
 
     def no_keyframe(_):
-        return state, jnp.asarray(-1, jnp.int32), jnp.asarray(False)
+        return state, jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32)
 
     state, kf_idx, loop_added = jax.lax.cond(
         want_kf, add_keyframe, no_keyframe, operand=None

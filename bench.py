@@ -395,9 +395,15 @@ def main() -> int:
     ap.add_argument("--suite", action="store_true",
                     help="also report odometry + graph-solve metrics (stderr)")
     ap.add_argument("--stages", action="store_true",
-                    help="also report per-stage device timings (stderr)")
+                    help="also report per-stage device timings as separate "
+                    "stderr lines (they are ALWAYS folded into the stdout "
+                    "JSON; this adds the verbose per-stage lines)")
+    ap.add_argument("--no-stages", action="store_true",
+                    help="skip the per-stage timing pass (4 extra jits)")
     ap.add_argument("--verify-kernels", action="store_true",
-                    help="diff Pallas vs XLA NN on this device (stderr)")
+                    help="also report the Pallas-vs-XLA check as a stderr "
+                    "line (the check itself ALWAYS runs on TPU and gates "
+                    "the headline)")
     args = ap.parse_args()
 
     import jax
@@ -430,19 +436,30 @@ def main() -> int:
     n_warm = 3
     scans, gt = _make_stream(jax, cfg, args.scans - n_warm, n_warm)
 
+    # Pallas-vs-XLA kernel verification ALWAYS runs where the fused
+    # kernel dispatches (TPU) and gates the headline — a silent Pallas
+    # regression must not ship behind a green BENCH artifact (VERDICT r2
+    # weak #2). On CPU the kernel never dispatches; record that honestly.
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        kernels_ok, checks = verify_kernels(jax, np)
+        kernel_status = "pass" if kernels_ok else "FAIL"
+    else:
+        kernels_ok, checks = True, []
+        kernel_status = "skipped (pallas kernels dispatch on tpu only)"
     if args.verify_kernels:
-        ok, checks = verify_kernels(jax, np)
         print(
             json.dumps({"metric": "pallas_kernel_verification",
-                        "value": "pass" if ok else "FAIL", "checks": checks}),
+                        "value": kernel_status, "checks": checks}),
             file=sys.stderr,
         )
-        if not ok:
-            print(json.dumps({"metric": "full_slam_step_scans_per_sec",
-                              "value": 0.0, "unit": "scans/s",
-                              "vs_baseline": 0.0,
-                              "error": "kernel verification failed"}))
-            return 1
+    if not kernels_ok:
+        print(json.dumps({"metric": "full_slam_step_scans_per_sec",
+                          "value": 0.0, "unit": "scans/s",
+                          "vs_baseline": 0.0, "kernel_verification": "FAIL",
+                          "checks": checks,
+                          "error": "kernel verification failed"}))
+        return 1
 
     # NOTE: donation is opt-in. The tunneled-TPU backend rejects SlamState
     # aliasing with INVALID_ARGUMENT *and* poisons the client — every
@@ -462,15 +479,21 @@ def main() -> int:
             "measured (native/gicp_ref.cpp, 1-thread C++ kd-tree GICP)"
             if ref_sps else "estimate (toolchain unavailable)"
         ),
+        "kernel_verification": kernel_status,
     }
 
-    if args.stages:
-        for stage, ms in bench_stages(jax, np, cfg, scans, gt).items():
-            print(
-                json.dumps({"metric": f"stage_ms_{stage}",
-                            "value": round(ms, 3), "unit": "ms/scan"}),
-                file=sys.stderr,
-            )
+    # per-stage device timings are ALWAYS folded into the headline JSON
+    # (driver-captured — VERDICT r2 weak #2); --no-stages opts out.
+    if not args.no_stages:
+        stage_ms = bench_stages(jax, np, cfg, scans, gt)
+        result["stage_ms"] = {k: round(v, 3) for k, v in stage_ms.items()}
+        if args.stages:
+            for stage, ms in stage_ms.items():
+                print(
+                    json.dumps({"metric": f"stage_ms_{stage}",
+                                "value": round(ms, 3), "unit": "ms/scan"}),
+                    file=sys.stderr,
+                )
 
     if args.suite:
         inline_sps, def_sps = bench_deferred_slam(jax, cfg, scans, gt)

@@ -102,7 +102,14 @@ class SlamConfig:
     # 'point': append-only map + exact brute-force NN (Pallas/MXU — faster
     # AND more accurate than the reference's approx octree descent on TPU)
     # 'voxel': sorted voxel hash with 3^3-neighborhood approx lookups
+    # 'sharded': the voxel map spatially sharded across a device mesh
+    #   (map_shards devices; pass the mesh to slam_step) — map capacity
+    #   scales with devices, insert is communication-free, NN reduces
+    #   over the mesh (SURVEY §5.7; parallel/sharded_map.py)
     map_backend: str = "point"
+    # device count for map_backend='sharded' (static so state shapes are
+    # config-derived; must equal the mesh size passed to slam_step)
+    map_shards: int = 1
     # ablation / odometry-only mode: skip scan-to-map refinement entirely
     # (the reference's refine call, icpslam.cpp:135). The map stays empty
     # in this mode (refinement is its only growth path); checkpoint

@@ -658,7 +658,7 @@ def main(argv=None) -> int:
         resume_state = checkpoint.rerender_map(resume_state, cfg)
         log.info(f"resumed {int(resume_state.keyframes.count)} keyframes "
                  f"from {args.resume} (map re-rendered: "
-                 f"{int(resume_state.map.size)} points)")
+                 f"{int(np.sum(np.asarray(resume_state.map.size)))} points)")
 
     if args.trace:
         from icpslam_tpu.utils import profiling
@@ -686,8 +686,8 @@ def main(argv=None) -> int:
         "keyframes": int(res.state.keyframes.count),
         "loop_closures": int(res.state.num_loop_closures),
         "optimizations": int(res.state.num_optimizations),
-        "map_size": int(res.state.map.size),
-        "map_overflow": int(res.state.map.overflow),
+        "map_size": int(np.sum(np.asarray(res.state.map.size))),
+        "map_overflow": int(np.sum(np.asarray(res.state.map.overflow))),
         **({"stamp_origin": res.stamp_origin} if res.stamp_origin else {}),
         **res.timing_summary(),
     }

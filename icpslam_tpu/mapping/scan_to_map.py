@@ -64,6 +64,7 @@ def refine_and_grow(
     raw_pose: Pose,
     config: SlamConfig,
     scan_covs: jnp.ndarray | None = None,
+    mesh=None,
 ) -> RefineResult:
     """Refine ``raw_pose`` against the map and grow the map with the scan.
 
@@ -73,6 +74,10 @@ def refine_and_grow(
     ``scan_covs`` lets callers reuse GICP covariances the front-end
     already computed for the same cloud (same knn/epsilon required) —
     packed (6, N), ``linalg3.mat_to_sym6`` layout.
+
+    ``mesh``: device mesh for ``config.map_backend == 'sharded'`` — the
+    NN query reduces over it (pmin/psum) and the insert routes points to
+    their owning shards; the scan itself stays replicated.
     """
     icfg = config.icp_mapping
     res_m = config.map_resolution
@@ -94,7 +99,7 @@ def refine_and_grow(
         scan_covs = compute_covariances(scan, icfg)
 
     cloud_in_map = pc.transform(raw_pose, scan)
-    map_empty = map_.size == 0
+    map_empty = map_backend.total_size(map_) == 0
 
     def seed(_):
         if store_covs and aligned_insert:
@@ -105,7 +110,7 @@ def refine_and_grow(
                 covs=covs_map,
             )
         else:
-            grown = map_backend.insert(map_, cloud_in_map, res_m)
+            grown = map_backend.insert(map_, cloud_in_map, res_m, mesh=mesh)
         return RefineResult(
             success=jnp.asarray(False),
             refined_pose=raw_pose,
@@ -124,7 +129,7 @@ def refine_and_grow(
         )
         nn, map_covs = map_backend.query_nn_with_covs(
             map_, cloud_in_map.points, cloud_in_map.mask, config,
-            prune_beyond=prune,
+            prune_beyond=prune, mesh=mesh,
         )
         # NN points back into the robot frame (reference ``:149``)
         inv = se3.inverse(raw_pose)
@@ -169,7 +174,7 @@ def refine_and_grow(
                 map_, grow_cloud, res_m, nn.dist2, covs=grow_covs
             )
         else:
-            grown = map_backend.insert(map_, grow_cloud, res_m)
+            grown = map_backend.insert(map_, grow_cloud, res_m, mesh=mesh)
         # on failure the reference does not grow the map (``:155-169``)
         final_map = jax.tree_util.tree_map(
             lambda a, b: jnp.where(success, a, b), grown, map_

@@ -253,6 +253,7 @@ def run_scans(
     scans: pc.PointCloud,
     config: SlamConfig,
     stamps: jnp.ndarray | None = None,
+    mesh=None,
 ) -> Tuple[SlamState, SlamOutput]:
     """Process a chunk of scans through the full pipeline in one device
     program (``lax.scan`` over ``slam_step``).
@@ -273,13 +274,13 @@ def run_scans(
 
     if stamps is None:
         def f(st, scan):
-            return slam_step(st, scan, config)
+            return slam_step(st, scan, config, mesh=mesh)
 
         return jax.lax.scan(f, state, scans)
 
     def f2(st, scan_stamp):
         scan, stamp = scan_stamp
-        return slam_step(st, scan, config, stamp=stamp)
+        return slam_step(st, scan, config, stamp=stamp, mesh=mesh)
 
     return jax.lax.scan(f2, state, (scans, stamps))
 
@@ -289,13 +290,22 @@ def slam_step(
     raw_scan: pc.PointCloud,
     config: SlamConfig,
     stamp: jnp.ndarray | None = None,
+    mesh=None,
 ) -> Tuple[SlamState, SlamOutput]:
     """Process one raw sensor-frame scan through the full pipeline.
 
     ``stamp`` is the scan's sensor timestamp in seconds (threaded into the
     keyframe store and exports, ``keyframe.h:24``); when omitted the state
     keeps a +1.0 scan counter. Jit with ``static_argnums=(2,)``.
+
+    ``mesh``: device mesh when ``config.map_backend == 'sharded'`` — the
+    same streaming step with the map partitioned by spatial block across
+    the mesh (insert communication-free, NN reduced with pmin/psum;
+    ``parallel/sharded_map.py``). Everything else (odometry, keyframes,
+    graph) is replicated. Close over it or pass via ``static_argnames``.
     """
+    if config.map_backend == "sharded" and mesh is None:
+        raise ValueError("map_backend='sharded' requires a mesh")
     # ---- 1. front-end odometry -------------------------------------------
     odom_state, oout = odo.odometry_step(state.odom, raw_scan, config)
     new_stamp = (
@@ -328,6 +338,7 @@ def slam_step(
         r = scan_to_map.refine_and_grow(
             state.map, oout.filtered, raw_pose, config,
             scan_covs=oout.filtered_covs if covs_reusable else None,
+            mesh=mesh,
         )
         return r.map, r.refined_pose, r.success
 
@@ -436,7 +447,7 @@ def slam_step(
         loop_closure=loop_added,
         optimized=do_opt,
         graph_cost=opt_cost,
-        map_size=state.map.size,
+        map_size=map_backend.total_size(state.map),
         num_keyframes=state.keyframes.count,
     )
     return state, out

@@ -180,7 +180,7 @@ def export_state_html(
     layers.extend(graph_layers(state))
     stats = {
         "keyframes": int(state.keyframes.count),
-        "map points": int(state.map.size),
+        "map points": int(np.sum(np.asarray(state.map.size))),
         "loop closures": int(state.num_loop_closures),
         "optimizations": int(state.num_optimizations),
     }

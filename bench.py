@@ -165,8 +165,11 @@ def bench_deferred_slam(jax, cfg, scans, gt):
     from icpslam_tpu.geometry import se3
     from icpslam_tpu.pipeline import deferred, slam
 
-    base = dataclasses.replace(cfg, graph_bucketing=False,
-                               enable_loop_closure=False)
+    # default back-end configuration (bucketing + auto solver) — the
+    # late-mission number must reflect what a user actually gets
+    # (VERDICT r2 item 7); loop closure stays off to isolate the
+    # back-end-latency scenario
+    base = dataclasses.replace(cfg, enable_loop_closure=False)
     dcfg = dataclasses.replace(base, defer_optimization=True)
     # leave room for every timed scan to add a keyframe (once the store
     # is full, keyframing and therefore solving stops)

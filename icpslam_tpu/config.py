@@ -145,8 +145,11 @@ class SlamConfig:
     # bucketing below it solves at the live size: 3.9 ms at 30 live
     # keyframes vs 42 ms at full 512 capacity on v5e), 'pcg' (matrix-free
     # block-Jacobi CG — wins at full capacity, ~2x direct at K=512, and
-    # scales with edges not capacity²), or 'schur' (chunked elimination)
-    graph_linear_solver: str = "direct"
+    # scales with edges not capacity²), 'schur' (chunked elimination), or
+    # 'auto' (default: per-bucket direct up to K=256, PCG above — young
+    # graphs get the cheap factorization, late-mission solves the ~2x
+    # faster CG; VERDICT r2 item 7)
+    graph_linear_solver: str = "auto"
     # capacity bucketing for the in-pipeline solve: lax.switch over
     # power-of-two keyframe prefixes (>= graph_bucket_min), so a young
     # graph solves at its own size instead of full capacity (SURVEY §7.4
@@ -174,6 +177,12 @@ class SlamConfig:
     publish_map_transform: bool = True  # icpslam.yaml:24
     reset_map_on_optimize: bool = True  # icpslam.cpp:170 contract
     verbosity: int = 1                  # leveled logging, §5.5
+    # expose per-scan intermediate clouds (filtered scan + map-NN cloud)
+    # in SlamOutput.debug — the offline analog of the reference's
+    # verbosity-gated debug topics (icp_odometer.cpp:212-219,
+    # octree_mapper.cpp:160-168); static, so the default compiles to
+    # nothing. Consumed by the runner's --debug-dump.
+    collect_debug: bool = False
 
     # --- numerics ---
     dtype: str = "float32"

@@ -404,9 +404,14 @@ def optimize(
     (adaptive damping with accept/reject, g2o-style). ``linear_solver``:
     'direct' (dense-block Cholesky — fastest for keyframe-scale graphs),
     'pcg' (matrix-free block-Jacobi preconditioned CG — memory/compute
-    scale with edges instead of K², for very large graphs), or 'schur'
+    scale with edges instead of K², for very large graphs), 'schur'
     (chunked block elimination: D parallel interior factorizations + one
-    small separator solve; see ``graph/schur.py``)."""
+    small separator solve; see ``graph/schur.py``), or 'auto' (direct up
+    to K=256, PCG above — the dense factorization is cubic in K and loses
+    to matrix-free CG at full 512-keyframe capacity: 42 ms vs ~20 ms
+    measured on v5e; K is static so the choice compiles away)."""
+    if linear_solver == "auto":
+        linear_solver = "direct" if nodes.t.shape[0] <= 256 else "pcg"
     c0 = graph_cost(nodes, edges)
     pcg = linear_solver == "pcg"
     use_schur = linear_solver == "schur"

@@ -125,6 +125,90 @@ def scan_stream(
         yield (cloud, float(stamps[i])) if with_stamps else cloud
 
 
+# a realistic non-trivial velodyne→cam0 calibration (axis permutation —
+# cam: x right / y down / z forward; velo: x fwd / y left / z up — plus a
+# centimeter-scale lever arm, matching real KITTI Tr magnitudes)
+DEFAULT_TR = np.array([
+    [0.0, -1.0, 0.0, -0.0027],
+    [0.0, 0.0, -1.0, -0.0648],
+    [1.0, 0.0, 0.0, -0.2085],
+    [0.0, 0.0, 0.0, 1.0],
+], np.float64)
+
+
+def write_tree(
+    root: str,
+    seq: str,
+    scans,
+    gt_velo: Pose,
+    stamps: Optional[np.ndarray] = None,
+    tr: Optional[np.ndarray] = None,
+    reflectance_seed: int = 0,
+) -> str:
+    """Write a full on-disk KITTI odometry tree (VERDICT r2 item 6) so the
+    real-KITTI code path (4-column .bin scans, non-trivial ``Tr`` in
+    calib.txt, times.txt, cam0-frame poses/) can be exercised end-to-end
+    without the dataset:
+
+        <root>/sequences/<seq>/velodyne/%06d.bin   float32 x,y,z,reflectance
+        <root>/sequences/<seq>/calib.txt           P0..P3 + Tr rows
+        <root>/sequences/<seq>/times.txt
+        <root>/poses/<seq>.txt                     3x4 cam0 poses
+
+    ``scans``: iterable of (n, 3) float32 sensor-frame clouds.
+    ``gt_velo``: velodyne-frame world trajectory; written to poses/ as
+    ``T_w_cam = Tr · T_w_velo · Tr⁻¹`` — the exact inverse of the loader's
+    conversion (``ground_truth_velodyne``), so a round trip recovers it.
+    Returns ``root``.
+    """
+    tr = DEFAULT_TR if tr is None else np.asarray(tr, np.float64)
+    seq_dir = os.path.join(root, "sequences", seq)
+    velo_dir = os.path.join(seq_dir, "velodyne")
+    os.makedirs(velo_dir, exist_ok=True)
+    os.makedirs(os.path.join(root, "poses"), exist_ok=True)
+
+    rng = np.random.RandomState(reflectance_seed)
+    n_scans = 0
+    for i, pts in enumerate(scans):
+        pts = np.asarray(pts, np.float32).reshape(-1, 3)
+        refl = rng.uniform(0.0, 1.0, (pts.shape[0], 1)).astype(np.float32)
+        np.c_[pts, refl].astype(np.float32).tofile(
+            os.path.join(velo_dir, f"{i:06d}.bin")
+        )
+        n_scans += 1
+
+    with open(os.path.join(seq_dir, "calib.txt"), "w") as f:
+        p = np.zeros((3, 4))
+        p[:3, :3] = np.eye(3) * 718.856  # plausible intrinsics, unused here
+        row = " ".join(f"{v:.12e}" for v in p.reshape(-1))
+        for k in range(4):
+            f.write(f"P{k}: {row}\n")
+        f.write("Tr: " + " ".join(f"{v:.12e}" for v in tr[:3].reshape(-1)) + "\n")
+
+    if stamps is None:
+        # irregular-but-monotonic stamps like real times.txt (10 Hz with
+        # per-scan jitter, starting at 0)
+        stamps = np.cumsum(0.1 + rng.uniform(-0.004, 0.004, n_scans))
+        stamps -= stamps[0]
+    np.savetxt(os.path.join(seq_dir, "times.txt"), np.asarray(stamps), fmt="%.6e")
+
+    from icpslam_tpu.geometry import quaternion as quat
+
+    t = np.asarray(gt_velo.t, np.float64)[:n_scans]
+    q = np.asarray(gt_velo.q, np.float64)[:n_scans]
+    R = np.asarray(quat.to_matrix(jnp.asarray(q, jnp.float32)), np.float64)
+    mats = np.tile(np.eye(4), (n_scans, 1, 1))
+    mats[:, :3, :3] = R
+    mats[:, :3, 3] = t
+    tr_inv = np.linalg.inv(tr)
+    cam = np.einsum("ij,njk,kl->nil", tr, mats, tr_inv)
+    np.savetxt(
+        os.path.join(root, "poses", f"{seq}.txt"),
+        cam[:, :3, :].reshape(n_scans, 12), fmt="%.9e",
+    )
+    return root
+
+
 def find_dataset(candidates=("/data/kitti", "/root/data/kitti", "./data/kitti")) -> Optional[str]:
     """Locate a KITTI odometry root if one is mounted; None otherwise."""
     for c in candidates:

@@ -100,6 +100,40 @@ def _stack_clouds(clouds: List[pc.PointCloud]) -> pc.PointCloud:
     return jax.tree_util.tree_map(lambda *x: jax.numpy.stack(x), *clouds)
 
 
+def _dump_debug_scan(
+    debug_dir: str, i: int, out: slam.SlamOutput, reason: str
+) -> None:
+    """Write one failing scan's intermediate products (filtered cloud,
+    map-NN cloud, poses, gates) — the offline analog of inspecting the
+    reference's debug topics in rviz (``icp_odometer.cpp:212-219``,
+    ``octree_mapper.cpp:160-168``)."""
+    import os
+
+    os.makedirs(debug_dir, exist_ok=True)
+    filt = out.odom_out.filtered
+    fm = np.asarray(filt.mask)
+    payload = dict(
+        scan=i,
+        reason=reason,
+        fitness=float(out.odom_out.fitness),
+        correspondences=int(out.odom_out.num_correspondences),
+        iterations=int(out.odom_out.iterations),
+        filtered_points=np.asarray(filt.points)[fm],
+        pose_map_t=np.asarray(out.pose_map.t),
+        pose_map_q=np.asarray(out.pose_map.q),
+    )
+    if out.debug is not None:
+        nm = np.asarray(out.debug.nn_mask)
+        payload.update(
+            nn_points=np.asarray(out.debug.nn_points)[nm],
+            raw_pose_t=np.asarray(out.debug.raw_pose.t),
+            raw_pose_q=np.asarray(out.debug.raw_pose.q),
+        )
+    np.savez_compressed(
+        os.path.join(debug_dir, f"scan_{i:06d}_{reason}.npz"), **payload
+    )
+
+
 def run_slam(
     scans: Iterable,
     config: SlamConfig,
@@ -108,6 +142,8 @@ def run_slam(
     chunk: int = 1,
     state: Optional[slam.SlamState] = None,
     post_step=None,
+    debug_dir: Optional[str] = None,
+    debug_max_dumps: int = 200,
 ) -> RunResult:
     """Drive the jitted pipeline over a scan stream.
 
@@ -115,8 +151,9 @@ def run_slam(
     thread real sensor timestamps through the pipeline (stored in
     keyframes and exports; without stamps the state keeps a scan counter).
 
-    ``post_step`` (step path only): callable ``state -> state`` invoked
-    after every step — the hook for the pipelined deferred back-end
+    ``post_step``: callable ``state -> state`` invoked after every step
+    (chunked mode: after every chunk) — the hook for the pipelined
+    deferred back-end
     (``pipeline/deferred.DeferredBackend.maybe_launch_or_fold``).
 
     ``chunk > 1`` feeds the device ``chunk`` scans per call through
@@ -152,6 +189,10 @@ def run_slam(
         if stamp_origin is None:
             stamp_origin = float(stamp)
         return cloud, float(stamp) - stamp_origin
+
+    if debug_dir is not None and chunk > 1:
+        raise ValueError("--debug-dump requires chunk=1 (per-scan products)")
+    n_dumps = 0
 
     if chunk > 1:
         run = jax.jit(slam.run_scans, static_argnums=(2,))
@@ -191,6 +232,10 @@ def run_slam(
                         f"({rec['num_keyframes']} keyframes, "
                         f"cost {rec['graph_cost']:.4f})"
                     )
+            if post_step is not None:
+                # deferred back-end folds at chunk boundaries (the launch
+                # trigger and the fold both operate on whole states)
+                state = post_step(state)
             return state, done + live
 
         for item in scans:
@@ -237,6 +282,23 @@ def run_slam(
         else:
             state, out = step(state, scan, config, jnp.asarray(stamp, jnp.float32))
         poses.append(out.pose_map)
+        if debug_dir is not None and n_dumps < debug_max_dumps:
+            # debug mode syncs per scan by construction (the gates must be
+            # read to decide); this is a debugging tool, not the hot path
+            processed = bool(out.odom_out.processed)
+            accepted = bool(out.odom_out.accepted)
+            reason = None
+            if processed and not accepted:
+                reason = "odometry_reject"
+            elif (
+                accepted and config.enable_scan_to_map
+                and not bool(out.refined) and int(out.num_keyframes) > 1
+            ):
+                reason = "refine_fail"
+            if reason is not None:
+                _dump_debug_scan(debug_dir, i, out, reason)
+                n_dumps += 1
+                log.warn(f"scan {i}: {reason} — dumped debug products")
         if sync_metrics:
             rec = {
                 "scan": i,
@@ -485,7 +547,8 @@ def main(argv=None) -> int:
         "--deferred-optimize", action="store_true",
         help="pipelined back-end: dispatch the windowed graph solve "
         "asynchronously and fold the correction back a few scans later "
-        "instead of stalling the stream (requires --chunk 1)",
+        "instead of stalling the stream (with --chunk > 1 the fold "
+        "happens at chunk boundaries)",
     )
     ap.add_argument(
         "--config", type=str, default=None,
@@ -496,6 +559,18 @@ def main(argv=None) -> int:
         "--scan-cache", type=str, default=None,
         help="(--kitti-proxy) cache rendered scans to this .npz and reuse "
         "them on later runs (64-beam rendering is host-bound)",
+    )
+    ap.add_argument(
+        "--no-proxy-physics", action="store_true",
+        help="(--kitti-proxy) disable the sensor-physics render (motion "
+        "distortion across the sweep, range-dependent noise, dropout, "
+        "moving traffic) and use the idealized static render",
+    )
+    ap.add_argument(
+        "--deskew", action="store_true",
+        help="(--kitti-proxy) undo intra-sweep motion distortion at "
+        "ingest using a noisy-INS relative-motion measurement (the "
+        "causal de-skew a KITTI-style OXTS rig performs)",
     )
     ap.add_argument(
         "--chunk", type=int, default=1,
@@ -522,6 +597,13 @@ def main(argv=None) -> int:
         "--trace", type=str, default=None,
         help="capture a jax.profiler trace of the run into this directory "
         "(TensorBoard/Perfetto readable)",
+    )
+    ap.add_argument(
+        "--debug-dump", type=str, default=None,
+        help="write per-scan debug products (filtered cloud, map-NN "
+        "cloud, poses) for scans failing the accept gate or refinement "
+        "into this directory — the offline analog of the reference's "
+        "debug topics (requires --chunk 1; forces per-scan sync)",
     )
     ap.add_argument(
         "--html", type=str, default=None,
@@ -562,20 +644,41 @@ def main(argv=None) -> int:
 
         from icpslam_tpu.io import synthetic
 
+        physics = not args.no_proxy_physics
+        # sensor-physics render options (VERDICT r2 item 5): per-azimuth
+        # motion distortion, range-growing noise, dropout, moving traffic
+        stream_kw = dict(
+            distortion=physics,
+            deskew=args.deskew,
+            dynamic=synthetic.make_moving_objects(seed=0) if physics else None,
+            noise_range_coeff=3e-4 if physics else 0.0,
+            dropout=0.08 if physics else 0.0,
+        )
+        cache_tag = int(physics) * 1 + int(args.deskew and physics) * 2
         cache = getattr(args, "scan_cache", None)
+        cached = None
         if cache and os.path.exists(cache):
+            data = np.load(cache)
+            if "tag" in data and int(data["tag"]) == cache_tag:
+                cached = data
+            else:
+                log.warn(
+                    f"scan cache {cache} was rendered with different "
+                    "physics flags; re-rendering"
+                )
+        if cached is not None:
             # re-use previously rendered scans (rendering 500 64-beam
             # scans costs ~3 min of host time; the pipeline does not)
-            data = np.load(cache)
-            n = min(args.poses, int(data["gt_t"].shape[0]))
+            n = min(args.poses, int(cached["gt_t"].shape[0]))
             if n < args.poses:
                 log.warn(
                     f"scan cache holds only {n} scans; running {n}, "
                     f"not the requested {args.poses}"
                 )
             gt = Pose(
-                t=jnp.asarray(data["gt_t"][:n]), q=jnp.asarray(data["gt_q"][:n])
+                t=jnp.asarray(cached["gt_t"][:n]), q=jnp.asarray(cached["gt_q"][:n])
             )
+            data = cached
             scans = (
                 (pc.from_points(data[f"s{i}"], capacity=cfg.max_raw_points),
                  i / args.rate)
@@ -585,17 +688,16 @@ def main(argv=None) -> int:
         else:
             world = synthetic.make_urban_world(seed=0)
             gt = synthetic.make_urban_drive(n_poses=args.poses, rate_hz=args.rate)
+            stream = synthetic.velodyne_stream(
+                world, gt, capacity=cfg.max_raw_points, rate_hz=args.rate,
+                **stream_kw,
+            )
             if cache:
-                t_np, q_np = np.asarray(gt.t), np.asarray(gt.q)
-                rendered = [
-                    synthetic.render_velodyne_scan(
-                        world, t_np[i], q_np[i], seed=i,
-                        max_points=cfg.max_raw_points,
-                    )
-                    for i in range(args.poses)
-                ]
+                rendered = [np.asarray(c.points)[np.asarray(c.mask)]
+                            for c, _ in stream]
                 np.savez_compressed(
-                    cache, gt_t=t_np, gt_q=q_np,
+                    cache, gt_t=np.asarray(gt.t), gt_q=np.asarray(gt.q),
+                    tag=cache_tag,
                     **{f"s{i}": s for i, s in enumerate(rendered)},
                 )
                 log.info(f"rendered + cached {len(rendered)} scans to {cache}")
@@ -604,9 +706,7 @@ def main(argv=None) -> int:
                     for i, s in enumerate(rendered)
                 )
             else:
-                scans = synthetic.velodyne_stream(
-                    world, gt, capacity=cfg.max_raw_points, rate_hz=args.rate,
-                )
+                scans = stream
         init = se3.index(gt, 0)
     elif args.synthetic:
         from icpslam_tpu.io import synthetic
@@ -642,11 +742,12 @@ def main(argv=None) -> int:
 
         from icpslam_tpu.pipeline import deferred
 
-        if args.chunk != 1:
-            raise SystemExit("--deferred-optimize requires --chunk 1")
         cfg = _dc.replace(cfg, defer_optimization=True)
+        # chunked driving calls the hook once per chunk, so the trigger
+        # cadence (and lag bound) is already in window-sized units there
         backend = deferred.DeferredBackend(
-            cfg, check_every=cfg.keyframes_window
+            cfg,
+            check_every=cfg.keyframes_window if args.chunk == 1 else 1,
         )
         post_step = backend.maybe_launch_or_fold
 
@@ -660,18 +761,24 @@ def main(argv=None) -> int:
                  f"from {args.resume} (map re-rendered: "
                  f"{int(np.sum(np.asarray(resume_state.map.size)))} points)")
 
+    if args.debug_dump:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, collect_debug=True)
+        if args.chunk != 1:
+            raise SystemExit("--debug-dump requires --chunk 1")
     if args.trace:
         from icpslam_tpu.utils import profiling
 
         with profiling.trace(args.trace):
             res = run_slam(scans, cfg, initial_pose=init, logger=log,
                            chunk=args.chunk, state=resume_state,
-                           post_step=post_step)
+                           post_step=post_step, debug_dir=args.debug_dump)
         log.info(f"wrote profiler trace to {args.trace}")
     else:
         res = run_slam(scans, cfg, initial_pose=init, logger=log,
                        chunk=args.chunk, state=resume_state,
-                       post_step=post_step)
+                       post_step=post_step, debug_dir=args.debug_dump)
     if backend is not None:
         res.state = backend.flush(res.state)
         log.info(f"deferred back-end: {backend.num_launched} solves "

@@ -238,6 +238,30 @@ def make_urban_drive(
     return se3.Pose(t=jnp.asarray(pos, jnp.float32), q=jnp.asarray(q, jnp.float32))
 
 
+def _quat_slerp_np(q0: np.ndarray, q1: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Slerp q0→q1 at fractions u (n,) → (n, 4), host numpy (wxyz)."""
+    q0 = q0 / np.linalg.norm(q0)
+    q1 = q1 / np.linalg.norm(q1)
+    d = float(np.dot(q0, q1))
+    if d < 0:
+        q1, d = -q1, -d
+    if d > 0.9995:  # nearly parallel: lerp + renorm
+        out = q0[None, :] + u[:, None] * (q1 - q0)[None, :]
+        return out / np.linalg.norm(out, axis=-1, keepdims=True)
+    th = np.arccos(np.clip(d, -1, 1))
+    s = np.sin(th)
+    a = np.sin((1 - u) * th) / s
+    b = np.sin(u * th) / s
+    return a[:, None] * q0[None, :] + b[:, None] * q1[None, :]
+
+
+def _quat_rot_np(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Rotate vectors v (n, 3) by unit quaternions q (n, 4) wxyz, numpy."""
+    w, x, y, z = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    uv = 2.0 * np.cross(q[:, 1:], v)
+    return v + w * uv + np.cross(q[:, 1:], uv)
+
+
 def render_velodyne_scan(
     world: np.ndarray,
     pose_t: np.ndarray,
@@ -248,17 +272,35 @@ def render_velodyne_scan(
     max_range: float = 80.0,
     min_range: float = 2.5,
     noise: float = 0.02,
+    noise_range_coeff: float = 0.0,
+    dropout: float = 0.0,
     seed: int = 0,
     max_points: Optional[int] = None,
-) -> np.ndarray:
+    next_pose_t: Optional[np.ndarray] = None,
+    next_pose_q: Optional[np.ndarray] = None,
+    return_times: bool = False,
+):
     """Simulate a 64-beam spinning lidar with occlusion: world points are
     projected into (elevation-beam, azimuth) bins in the sensor frame and
     only the NEAREST return per bin survives (a spherical z-buffer). This
     reproduces the velodyne scan structure the reference targets
     (``/root/reference/config/icpslam.yaml:13`` '20 for velodyne') —
     occluded facades genuinely disappear, beam density falls off with
-    range. Range noise is Gaussian along the ray. Returns (n, 3) float32
-    in the sensor frame.
+    range. Returns (n, 3) float32 in the sensor frame (of ``pose``, the
+    sweep-start pose); with ``return_times`` also the per-point sweep
+    fraction (n,) float32 in [0, 1).
+
+    Real-sensor physics (VERDICT r2 item 5):
+
+    - **Motion distortion**: when ``next_pose`` is given, each return is
+      re-measured from the *interpolated* sensor pose at its azimuth's
+      capture time (the sweep spans the full inter-scan motion) — the
+      smeared geometry every spinning lidar actually outputs. Consumers
+      either de-skew at ingest (``deskew_scan``) or absorb the error.
+    - **Range-dependent noise**: σ(r) = noise + noise_range_coeff·r
+      meters along the ray (beam divergence + weaker returns far out).
+    - **Dropout**: each return independently lost with prob ``dropout``
+      (absorptive surfaces, specular bounces).
     """
     rng = np.random.RandomState(seed)
     # world → sensor frame
@@ -272,6 +314,7 @@ def render_velodyne_scan(
     r = np.linalg.norm(local, axis=-1)
     keep = (r >= min_range) & (r <= max_range)
     local, r = local[keep], r[keep]
+    near = near[keep]
     az = np.arctan2(local[:, 1], local[:, 0])  # [-pi, pi)
     el = np.degrees(np.arcsin(np.clip(local[:, 2] / np.maximum(r, 1e-9), -1, 1)))
 
@@ -282,6 +325,7 @@ def render_velodyne_scan(
     abin = np.clip(abin, 0, azimuth_bins - 1)
 
     local, r, beam, abin = local[in_fov], r[in_fov], beam[in_fov], abin[in_fov]
+    world_pts = near[in_fov]
     cell = beam * azimuth_bins + abin
     # z-buffer: nearest return per cell
     order = np.lexsort((r, cell))
@@ -290,15 +334,156 @@ def render_velodyne_scan(
     first[1:] = cell_sorted[1:] != cell_sorted[:-1]
     hits = local[order][first]
     rr = r[order][first]
+    world_hits = world_pts[order][first]
+    abin_hits = abin[order][first]
+    # sweep fraction from azimuth: the scanner sweeps [-pi, pi) once per
+    # period, so capture time offset = fraction of the bin index
+    frac = (abin_hits.astype(np.float64) + 0.5) / azimuth_bins
 
-    if noise:
-        # range noise along the ray direction
-        scale = 1.0 + rng.randn(hits.shape[0]).astype(np.float32) * noise / np.maximum(rr, 1e-6)
+    if next_pose_t is not None:
+        # motion distortion: re-measure each world hit from the sensor
+        # pose interpolated to its capture time; output stays expressed
+        # in the sweep-START sensor frame (what the device would report
+        # without an INS): p_meas = T(start)⁻¹-convention raw points are
+        # literally T(frac)⁻¹ · w stacked as one "cloud"
+        u = frac.astype(np.float64)
+        t_interp = (
+            np.asarray(pose_t, np.float64)[None, :] * (1 - u[:, None])
+            + np.asarray(next_pose_t, np.float64)[None, :] * u[:, None]
+        )
+        q_interp = _quat_slerp_np(
+            np.asarray(pose_q, np.float64), np.asarray(next_pose_q, np.float64), u
+        )
+        # conjugate quaternion rotates world → sensor
+        q_conj = np.c_[q_interp[:, 0], -q_interp[:, 1:]]
+        hits = _quat_rot_np(q_conj, world_hits.astype(np.float64) - t_interp)
+        rr = np.linalg.norm(hits, axis=-1)
+
+    if noise or noise_range_coeff:
+        sigma = noise + noise_range_coeff * rr
+        scale = 1.0 + rng.randn(hits.shape[0]) * sigma / np.maximum(rr, 1e-6)
         hits = hits * scale[:, None]
+    if dropout:
+        keep_m = rng.uniform(size=hits.shape[0]) >= dropout
+        hits, frac = hits[keep_m], frac[keep_m]
     if max_points is not None and hits.shape[0] > max_points:
         sel = rng.choice(hits.shape[0], max_points, replace=False)
-        hits = hits[sel]
-    return hits.astype(np.float32)
+        hits, frac = hits[sel], frac[sel]
+    hits = hits.astype(np.float32)
+    if return_times:
+        return hits, frac.astype(np.float32)
+    return hits
+
+
+def deskew_scan(
+    points: np.ndarray,
+    rel_t: np.ndarray,
+    rel_q: np.ndarray,
+    times: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Causal motion de-skew: undo intra-sweep motion using a constant-
+    velocity model (``rel`` ≈ the previous inter-scan transform, e.g. the
+    odometry front-end's last accepted estimate — exactly the information
+    a real pipeline has at ingest).
+
+    ``times``: per-point sweep fraction in [0, 1); derived from each
+    point's azimuth when omitted (how real de-skew works without
+    per-point stamps). Points are re-expressed in the sweep-start frame:
+    ``p' = T(u)·p`` with ``T(u)`` the pose of the sensor at fraction
+    ``u`` under the constant-velocity extrapolation of ``rel``.
+    """
+    if times is None:
+        az = np.arctan2(points[:, 1], points[:, 0])
+        times = ((az + np.pi) / (2 * np.pi)).astype(np.float64)
+    u = np.asarray(times, np.float64)
+    t1 = np.asarray(rel_t, np.float64)
+    q0 = np.array([1.0, 0.0, 0.0, 0.0])
+    q_u = _quat_slerp_np(q0, np.asarray(rel_q, np.float64), u)
+    t_u = t1[None, :] * u[:, None]
+    return (_quat_rot_np(q_u, points.astype(np.float64)) + t_u).astype(np.float32)
+
+
+def make_moving_objects(
+    seed: int = 0,
+    n_vehicles: int = 6,
+    blocks: int = 3,
+    block_size: float = 80.0,
+    street_width: float = 18.0,
+    speed_range: Tuple[float, float] = (5.0, 12.0),
+    pts_per_vehicle: int = 900,
+):
+    """Dynamic objects for the urban proxy: box-shaped 'vehicles' driving
+    along the street grid. Returns a callable ``t -> (n, 3) float32`` of
+    the moving points at time t (seconds) — per-scan world augmentation.
+    """
+    rng = np.random.RandomState(seed)
+    pitch = block_size + street_width
+    extent = blocks * pitch + street_width
+    half = street_width / 2.0
+    lanes = [street_width + k * pitch - half for k in range(blocks + 1)]
+    vehicles = []
+    for v in range(n_vehicles):
+        along_x = bool(rng.randint(2))
+        lane = lanes[rng.randint(len(lanes))] + rng.uniform(-2.0, 2.0)
+        speed = rng.uniform(*speed_range) * (1 if rng.randint(2) else -1)
+        phase = rng.uniform(0, extent)
+        # box point cloud: 4.5 x 1.8 x 1.6 m shell
+        n = pts_per_vehicle
+        face = rng.randint(0, 5, n)
+        lx = rng.uniform(-2.25, 2.25, n)
+        ly = rng.uniform(-0.9, 0.9, n)
+        lz = rng.uniform(0.0, 1.6, n)
+        lx = np.where(face == 0, -2.25, np.where(face == 1, 2.25, lx))
+        ly = np.where(face == 2, -0.9, np.where(face == 3, 0.9, ly))
+        lz = np.where(face == 4, 1.6, lz)
+        box = np.c_[lx, ly, lz]
+        vehicles.append((along_x, lane, speed, phase, box))
+
+    def at_time(t: float) -> np.ndarray:
+        parts = []
+        for along_x, lane, speed, phase, box in vehicles:
+            pos = (phase + speed * t) % extent
+            if along_x:
+                center = np.array([pos, lane, 0.0])
+                pts = box + center
+            else:
+                center = np.array([lane, pos, 0.0])
+                # rotate the box 90° for cross-street travel
+                pts = np.c_[box[:, 1], box[:, 0], box[:, 2]] + center
+            parts.append(pts)
+        return np.concatenate(parts).astype(np.float32)
+
+    return at_time
+
+
+def _quat_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
+def ins_relative_motion(
+    t: np.ndarray, q: np.ndarray, i: int, rng, noise_t: float, noise_r: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Noisy INS measurement of the sensor motion over sweep ``i``
+    (relative transform body_i → body_{i+1}); KITTI rigs carry an OXTS
+    INS, which is what real de-skew consumes."""
+    j = min(i + 1, t.shape[0] - 1)
+    q_conj = np.array([q[i][0], -q[i][1], -q[i][2], -q[i][3]])
+    q_conj = q_conj / np.linalg.norm(q_conj)
+    rel_q = _quat_mul_np(q_conj, q[j] / np.linalg.norm(q[j]))
+    rel_t = _quat_rot_np(q_conj[None, :], (t[j] - t[i])[None, :])[0]
+    if noise_t:
+        rel_t = rel_t + rng.randn(3) * noise_t
+    if noise_r:
+        dq = np.concatenate([[1.0], rng.randn(3) * noise_r])
+        rel_q = _quat_mul_np(rel_q, dq / np.linalg.norm(dq))
+    return rel_t, rel_q / np.linalg.norm(rel_q)
 
 
 def velodyne_stream(
@@ -308,15 +493,44 @@ def velodyne_stream(
     rate_hz: float = 10.0,
     seed: int = 0,
     with_stamps: bool = True,
+    dynamic=None,
+    distortion: bool = False,
+    deskew: bool = False,
+    ins_noise_t: float = 0.01,
+    ins_noise_r: float = 0.002,
     **render_kw,
 ):
-    """Yield 64-beam scans (with 10 Hz stamps) along a trajectory."""
-    t = np.asarray(trajectory.t)
-    q = np.asarray(trajectory.q)
-    for i in range(t.shape[0]):
-        pts = render_velodyne_scan(
-            world, t[i], q[i], seed=seed + i, max_points=capacity, **render_kw
+    """Yield 64-beam scans (with 10 Hz stamps) along a trajectory.
+
+    ``dynamic``: optional ``t -> (n, 3)`` callable of moving-object points
+    appended to the world per scan (``make_moving_objects``).
+    ``distortion=True`` smears each sweep across the inter-scan motion
+    (see ``render_velodyne_scan``); ``deskew=True`` then undoes it at
+    ingest with a *noisy INS* relative-motion measurement (σ =
+    ``ins_noise_t`` m / ``ins_noise_r`` rad — the causal information a
+    real KITTI-style rig has; using ground truth directly would be
+    cheating).
+    """
+    t = np.asarray(trajectory.t, np.float64)
+    q = np.asarray(trajectory.q, np.float64)
+    n = t.shape[0]
+    ins_rng = np.random.RandomState(seed + 90001)
+    for i in range(n):
+        world_i = (
+            world if dynamic is None
+            else np.concatenate([world, dynamic(i / rate_hz)])
         )
+        kw = dict(render_kw)
+        if distortion and i + 1 < n:
+            kw.update(next_pose_t=t[i + 1], next_pose_q=q[i + 1])
+        pts = render_velodyne_scan(
+            world_i, t[i], q[i], seed=seed + i, max_points=capacity, **kw
+        )
+        if deskew and distortion and i + 1 < n:
+            rel_t, rel_q = ins_relative_motion(
+                t, q, i, ins_rng, ins_noise_t, ins_noise_r
+            )
+            pts = deskew_scan(pts, rel_t, rel_q)
         cloud = pc.from_points(pts, capacity=capacity)
         yield (cloud, i / rate_hz) if with_stamps else cloud
 

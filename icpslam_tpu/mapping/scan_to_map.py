@@ -51,6 +51,9 @@ class RefineResult(NamedTuple):
     fitness: jnp.ndarray
     nn_found: jnp.ndarray     # int32: scan points with a map NN
     map: map_backend.MapState  # grown (or seeded) map
+    nn_points: jnp.ndarray    # (N, 3) robot-frame NN cloud — the reference's
+    nn_mask: jnp.ndarray      # nn_cloud debug topic (octree_mapper.cpp:160);
+    #                           zeros/False on the empty-map seed branch
 
 
 def _rotate_covs(covs6: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
@@ -118,6 +121,8 @@ def refine_and_grow(
             fitness=jnp.asarray(jnp.inf, jnp.float32),
             nn_found=jnp.asarray(0, jnp.int32),
             map=grown,
+            nn_points=jnp.zeros((scan.capacity, 3), jnp.float32),
+            nn_mask=jnp.zeros((scan.capacity,), bool),
         )
 
     def refine(_):
@@ -189,6 +194,8 @@ def refine_and_grow(
             fitness=icp_res.fitness,
             nn_found=jnp.sum(nn.found.astype(jnp.int32)),
             map=final_map,
+            nn_points=nn_robot.points,
+            nn_mask=nn_robot.mask,
         )
 
     return jax.lax.cond(map_empty, seed, refine, operand=None)

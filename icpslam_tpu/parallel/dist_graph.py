@@ -303,8 +303,11 @@ def optimize(
     ``linear_solver='direct'``: edge-sharded assembly + replicated dense
     Cholesky. ``'pcg'``: fully distributed matrix-free CG (no dense H).
     ``'schur'``: edge-sharded assembly + distributed Schur elimination
-    (chunk ↔ device) with replicated separator solve.
+    (chunk ↔ device) with replicated separator solve. ``'auto'`` matches
+    ``pose_graph.optimize``: direct up to K=256, PCG above.
     """
+    if linear_solver == "auto":
+        linear_solver = "direct" if nodes.t.shape[0] <= 256 else "pcg"
     c0 = pg.graph_cost(nodes, edges)
     pcg = linear_solver == "pcg"
     use_schur = linear_solver == "schur"

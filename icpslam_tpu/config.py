@@ -99,6 +99,14 @@ class SlamConfig:
     )
     # map-NN search radius in voxels (1 → 3^3 neighborhood)
     map_nn_radius: int = 1
+    # scan-to-map refinement reuses the map-NN pairing for ALL its ICP
+    # iterations (source point i ↔ its map NN at the raw pose) instead of
+    # re-searching the NN cloud per iteration (PCL semantics). The
+    # initial pairing is exact by construction and the refinement
+    # correction is sub-voxel, so quality is preserved while every
+    # per-iteration NN sweep disappears — the mapping ICP's dominant
+    # cost. False restores per-iteration re-matching.
+    mapping_fixed_correspondences: bool = True
     # 'point': append-only map + exact brute-force NN (Pallas/MXU — faster
     # AND more accurate than the reference's approx octree descent on TPU)
     # 'voxel': sorted voxel hash with 3^3-neighborhood approx lookups

@@ -155,7 +155,11 @@ def refine_and_grow(
 
                 target_covs = compute_covariances(nn_robot, icfg)
             kwargs = dict(source_covs=scan_covs, target_covs=target_covs)
-        icp_res = icp_ops.icp(scan, nn_robot, icfg, **kwargs)
+        icp_res = icp_ops.icp(
+            scan, nn_robot, icfg,
+            fixed_correspondences=config.mapping_fixed_correspondences,
+            **kwargs,
+        )
         # reference accepts on hasConverged() alone here (no fitness gate,
         # ``octree_mapper.cpp:117``)
         success = icp_res.converged

@@ -84,8 +84,18 @@ def icp(
     target_covs: Optional[jnp.ndarray] = None,
     nn_block: int = 1024,
     target_valid_len: Optional[jnp.ndarray] = None,
+    fixed_correspondences: bool = False,
 ) -> IcpResult:
     """Register ``source`` onto ``target``; returns target-frame pose of source.
+
+    ``fixed_correspondences``: the match of source point ``i`` is target
+    point ``i`` for the whole registration — no NN search at all. For the
+    scan-to-map refinement the target IS the per-point map-NN cloud of
+    the source at the initial pose (``octree_mapper.cpp:148-155``), so the
+    identity pairing starts exact and only degrades by the (sub-voxel)
+    correction the refinement itself applies; the distance gate +
+    Huber weights still down-weight pairs the update invalidates. Saves
+    every per-iteration NN sweep — the dominant cost of the mapping ICP.
 
     For ``config.mode == 'plane'`` the per-point covariances must be
     precomputed with ``ops.covariance.gicp_covariances`` (they depend only
@@ -145,10 +155,20 @@ def icp(
 
     refresh = max(1, config.correspondence_refresh)
 
+    if fixed_correspondences:
+        if target.points.shape[0] != source.points.shape[0]:
+            raise ValueError(
+                "fixed_correspondences requires target and source of equal size"
+            )
+        ident_idx = jnp.arange(source.points.shape[0], dtype=jnp.int32)
+        ident_matched = target.mask
+
     def step(carry: _Carry) -> _Carry:
         pose = carry.pose
         R, px, py, pz = transform_comps(pose)
-        if refresh == 1:
+        if fixed_correspondences:
+            idx, matched = ident_idx, ident_matched
+        elif refresh == 1:
             idx, matched = fresh_nn(px, py, pz)
         else:
             # refresh the NN search only every `refresh` iterations; in
@@ -263,7 +283,10 @@ def icp(
         # Extra correspondence pass at the final pose (exact PCL
         # getFitnessScore semantics) — costs one more NN sweep.
         _, px, py, pz = transform_comps(final.pose)
-        idx, matched = fresh_nn(px, py, pz)
+        if fixed_correspondences:
+            idx, matched = ident_idx, ident_matched
+        else:
+            idx, matched = fresh_nn(px, py, pz)
         _, d2, corr = match_eval(idx, matched, px, py, pz)
     else:
         # Reuse the correspondences from the last executed iteration:

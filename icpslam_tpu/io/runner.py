@@ -144,6 +144,8 @@ def run_slam(
     post_step=None,
     debug_dir: Optional[str] = None,
     debug_max_dumps: int = 200,
+    snapshot_every: int = 0,
+    snapshot_fn=None,
 ) -> RunResult:
     """Drive the jitted pipeline over a scan stream.
 
@@ -339,6 +341,11 @@ def run_slam(
             )
         if post_step is not None:
             state = post_step(state)
+        if snapshot_every and snapshot_fn is not None and (i + 1) % snapshot_every == 0:
+            # in-run visualization refresh — the offline analog of the
+            # reference publishing to rviz WHILE the node runs (syncs on
+            # the state; cadence is the user's latency/throughput dial)
+            snapshot_fn(i, state, se3.stack(poses))
         if sync_metrics:
             dt_ms = (time.perf_counter() - ts0) * 1000.0
             if i == 0:
@@ -610,6 +617,12 @@ def main(argv=None) -> int:
         help="write a standalone interactive viewer (map + trajectories + "
         "pose graph) to this HTML file",
     )
+    ap.add_argument(
+        "--html-every", type=int, default=0,
+        help="with --html: refresh the viewer file every N scans DURING "
+        "the run (reload it in a browser — the reference's live-rviz "
+        "analog; requires --chunk 1, syncs once per refresh)",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -767,18 +780,34 @@ def main(argv=None) -> int:
         cfg = _dc.replace(cfg, collect_debug=True)
         if args.chunk != 1:
             raise SystemExit("--debug-dump requires --chunk 1")
+    snapshot_every, snapshot_fn = 0, None
+    if args.html and args.html_every:
+        if args.chunk != 1:
+            raise SystemExit("--html-every requires --chunk 1")
+        from icpslam_tpu.viz import html as viz_html_live
+
+        snapshot_every = args.html_every
+
+        def snapshot_fn(i, st, traj):
+            viz_html_live.export_state_html(
+                args.html, st, trajectory=traj,
+                title=f"icpslam_tpu — live (scan {i + 1})",
+            )
+            log.info(f"scan {i + 1}: refreshed live viewer {args.html}")
     if args.trace:
         from icpslam_tpu.utils import profiling
 
         with profiling.trace(args.trace):
             res = run_slam(scans, cfg, initial_pose=init, logger=log,
                            chunk=args.chunk, state=resume_state,
-                           post_step=post_step, debug_dir=args.debug_dump)
+                           post_step=post_step, debug_dir=args.debug_dump,
+                           snapshot_every=snapshot_every, snapshot_fn=snapshot_fn)
         log.info(f"wrote profiler trace to {args.trace}")
     else:
         res = run_slam(scans, cfg, initial_pose=init, logger=log,
                        chunk=args.chunk, state=resume_state,
-                       post_step=post_step, debug_dir=args.debug_dump)
+                       post_step=post_step, debug_dir=args.debug_dump,
+                       snapshot_every=snapshot_every, snapshot_fn=snapshot_fn)
     if backend is not None:
         res.state = backend.flush(res.state)
         log.info(f"deferred back-end: {backend.num_launched} solves "

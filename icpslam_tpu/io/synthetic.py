@@ -303,13 +303,15 @@ def render_velodyne_scan(
       (absorptive surfaces, specular bounces).
     """
     rng = np.random.RandomState(seed)
-    # world → sensor frame
-    inv = se3.inverse(
-        se3.Pose(t=jnp.asarray(pose_t, jnp.float32), q=jnp.asarray(pose_q, jnp.float32))
-    )
+    # world → sensor frame — pure host numpy: routing the 1M-point world
+    # through jnp would round-trip it over the (tunneled) device per scan
     d = np.linalg.norm(world - np.asarray(pose_t, np.float32)[None, :], axis=-1)
     near = world[(d <= max_range) & (d >= min_range * 0.5)]
-    local = np.asarray(se3.transform_points(inv, jnp.asarray(near, jnp.float32)))
+    q_np = np.asarray(pose_q, np.float64)
+    q_conj0 = np.r_[q_np[0], -q_np[1:]] / np.linalg.norm(q_np)
+    local = _quat_rot_np(
+        q_conj0[None, :], near.astype(np.float64) - np.asarray(pose_t, np.float64)
+    ).astype(np.float32)
 
     r = np.linalg.norm(local, axis=-1)
     keep = (r >= min_range) & (r <= max_range)

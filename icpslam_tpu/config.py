@@ -107,6 +107,13 @@ class SlamConfig:
     # per-iteration NN sweep disappears — the mapping ICP's dominant
     # cost. False restores per-iteration re-matching.
     mapping_fixed_correspondences: bool = True
+    # with fixed correspondences: total map-query+register rounds allowed
+    # when the correction is large (> map_resolution/4). Round 1 always
+    # runs; extra rounds re-query the REAL map at the corrected pose
+    # (strictly better than the reference re-matching within its stale
+    # NN cloud) and only execute when the correction magnitude says the
+    # pairing was computed at a meaningfully wrong pose.
+    mapping_requery_rounds: int = 3
     # 'point': append-only map + exact brute-force NN (Pallas/MXU — faster
     # AND more accurate than the reference's approx octree descent on TPU)
     # 'voxel': sorted voxel hash with 3^3-neighborhood approx lookups

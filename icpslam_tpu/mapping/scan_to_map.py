@@ -132,34 +132,42 @@ def refine_and_grow(
         prune = float(
             max(icfg.max_correspondence_distance, res_m) ** 2
         )
-        nn, map_covs = map_backend.query_nn_with_covs(
-            map_, cloud_in_map.points, cloud_in_map.mask, config,
-            prune_beyond=prune, mesh=mesh,
-        )
-        # NN points back into the robot frame (reference ``:149``)
-        inv = se3.inverse(raw_pose)
-        nn_robot = pc.PointCloud(
-            points=jnp.where(
-                nn.found[:, None], se3.transform_points(inv, nn.points), 0.0
-            ),
-            mask=nn.found,
-        )
-        kwargs = {}
-        if plane:
-            if map_covs is not None:
-                # stored map-frame covariances → robot frame: Rᵀ C R
-                R = quat.to_matrix(raw_pose.q)
-                target_covs = _rotate_covs(map_covs, R.T)
-            else:
-                from icpslam_tpu.pipeline.odometry import compute_covariances
 
-                target_covs = compute_covariances(nn_robot, icfg)
-            kwargs = dict(source_covs=scan_covs, target_covs=target_covs)
-        icp_res = icp_ops.icp(
-            scan, nn_robot, icfg,
-            fixed_correspondences=config.mapping_fixed_correspondences,
-            **kwargs,
-        )
+        def one_round(pose):
+            """Map query at ``pose`` + one registration against the NN
+            cloud; returns the correction in the robot frame."""
+            in_map = pc.transform(pose, scan)
+            nn, map_covs = map_backend.query_nn_with_covs(
+                map_, in_map.points, in_map.mask, config,
+                prune_beyond=prune, mesh=mesh,
+            )
+            # NN points back into the robot frame (reference ``:149``)
+            inv = se3.inverse(pose)
+            nn_robot = pc.PointCloud(
+                points=jnp.where(
+                    nn.found[:, None], se3.transform_points(inv, nn.points), 0.0
+                ),
+                mask=nn.found,
+            )
+            kwargs = {}
+            if plane:
+                if map_covs is not None:
+                    # stored map-frame covariances → robot frame: Rᵀ C R
+                    R = quat.to_matrix(pose.q)
+                    target_covs = _rotate_covs(map_covs, R.T)
+                else:
+                    from icpslam_tpu.pipeline.odometry import compute_covariances
+
+                    target_covs = compute_covariances(nn_robot, icfg)
+                kwargs = dict(source_covs=scan_covs, target_covs=target_covs)
+            icp_res = icp_ops.icp(
+                scan, nn_robot, icfg,
+                fixed_correspondences=config.mapping_fixed_correspondences,
+                **kwargs,
+            )
+            return icp_res, nn, nn_robot
+
+        icp_res, nn, nn_robot = one_round(raw_pose)
         # reference accepts on hasConverged() alone here (no fitness gate,
         # ``octree_mapper.cpp:117``)
         success = icp_res.converged
@@ -168,6 +176,64 @@ def refine_and_grow(
             q=jnp.where(success, icp_res.pose.q, se3.identity().q),
         )
         refined = se3.normalize(se3.compose(raw_pose, correction))
+
+        # outer re-query rounds (fixed-correspondence mode): when the
+        # round-1 correction is large relative to the map cell, the
+        # identity pairing was computed at a meaningfully wrong pose —
+        # re-query the MAP at the corrected pose and register again.
+        # This replaces the reference's per-iteration re-matching within
+        # the STALE NN cloud with re-matching against the real map, and
+        # only pays for it when the correction says it matters.
+        extra_rounds = (
+            config.mapping_requery_rounds - 1
+            if config.mapping_fixed_correspondences else 0
+        )
+        if extra_rounds > 0:
+            # fire whenever the correction is non-trivial relative to the
+            # map cell: the fixed pairing recovers only part of a large
+            # error per round (the pairing was biased by the error
+            # itself), so rounds must continue until the correction
+            # settles well below the cell size
+            thresh = 0.1 * res_m
+
+            def rq_cond(carry):
+                pose, corr_mag, rounds, ok, _f, nn_p, nn_m, d2 = carry
+                return (rounds < extra_rounds) & ok & (corr_mag > thresh)
+
+            def rq_body(carry):
+                pose, _mag, rounds, ok, _f, _nn_p, _nn_m, _d2 = carry
+                res2, nn2, nn_robot2 = one_round(pose)
+                ok2 = res2.converged
+                corr2 = Pose(
+                    t=jnp.where(ok2, res2.pose.t, 0.0),
+                    q=jnp.where(ok2, res2.pose.q, se3.identity().q),
+                )
+                pose2 = se3.normalize(se3.compose(pose, corr2))
+                mag2 = jnp.linalg.norm(corr2.t) * ok2.astype(pose.t.dtype)
+                return (
+                    pose2, mag2, rounds + 1, ok | ok2,
+                    jnp.where(ok2, res2.fitness, _f),
+                    jnp.where(ok2, nn_robot2.points, _nn_p),
+                    jnp.where(ok2, nn_robot2.mask, _nn_m),
+                    jnp.where(ok2, nn2.dist2, _d2),
+                )
+
+            carry0 = (
+                refined, jnp.linalg.norm(correction.t), jnp.asarray(0, jnp.int32),
+                success, icp_res.fitness, nn_robot.points, nn_robot.mask, nn.dist2,
+            )
+            refined, _, _, success, fit_final, nn_pts_f, nn_mask_f, nn_d2_f = (
+                jax.lax.while_loop(rq_cond, rq_body, carry0)
+            )
+            correction = Pose(
+                t=jnp.where(success, se3.relative(raw_pose, refined).t, 0.0),
+                q=jnp.where(success, se3.relative(raw_pose, refined).q,
+                            se3.identity().q),
+            )
+            nn = nn._replace(dist2=nn_d2_f)
+            nn_robot = pc.PointCloud(points=nn_pts_f, mask=nn_mask_f)
+            icp_res = icp_res._replace(fitness=fit_final)
+
         grow_cloud = pc.transform(refined, scan)
         grow_covs = (
             _rotate_covs(scan_covs, quat.to_matrix(refined.q))

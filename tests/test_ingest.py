@@ -167,9 +167,14 @@ class TestRunnerStampedStream:
         np.testing.assert_allclose(
             np.asarray(r1.trajectory.t), np.asarray(r3.trajectory.t), atol=1e-5
         )
-        assert abs(float(r1.state.stamp) - 50.6) < 1e-4
+        # device stamps are ORIGIN-RELATIVE since r3 (float32 state must
+        # not carry epoch-scale absolute times — ADVICE r2); the origin
+        # is preserved host-side in float64 for absolute-time exports
+        assert abs(float(r1.state.stamp) - 0.6) < 1e-4
+        assert r1.stamp_origin == 50.0
         # padded tail must not advance the stamp past the stream
-        assert abs(float(r3.state.stamp) - 50.6) < 1e-4
+        assert abs(float(r3.state.stamp) - 0.6) < 1e-4
+        assert r3.stamp_origin == 50.0
 
     def test_parse_extrinsic(self):
         from icpslam_tpu.io.runner import _parse_extrinsic

@@ -635,11 +635,12 @@ def main(argv=None) -> int:
 
     if args.config:
         cfg = _config_from_yaml_args(ap, args)
-    elif args.kitti_proxy:
+    elif args.kitti_proxy or args.kitti:
         from icpslam_tpu.config import kitti_config
 
-        # kitti_config base + whatever CLI flags were explicitly passed
-        # (previously --voxel etc. were silently ignored in proxy mode)
+        # velodyne/urban operating point for both the real dataset and
+        # the proxy (the room-scale defaults under-gate 80 m-range urban
+        # scans); explicitly passed CLI flags override
         kw = _explicit_overrides(ap, args)
         if "max_keyframes" in kw:
             kw.setdefault("max_edges", kw["max_keyframes"] * 4)

@@ -525,16 +525,26 @@ def main() -> int:
                     file=sys.stderr,
                 )
 
-    if args.suite:
+    # late-mission throughput is ALWAYS in the headline JSON on TPU: the
+    # default config must not halve at high keyframe counts (VERDICT r2
+    # item 7), and the driver artifact should prove it without flags.
+    # (CPU smoke runs skip it — full-512-capacity solves take minutes
+    # there; pass --suite to force.)
+    if (on_tpu and not args.no_stages) or args.suite:
         inline_sps, def_sps = bench_deferred_slam(jax, cfg, scans, gt)
-        print(
-            json.dumps({"metric": "late_mission_slam_scans_per_sec",
-                        "value": {"inline_solve": round(inline_sps, 3),
-                                  "pipelined_solve": round(def_sps, 3)},
-                        "unit": "scans/s at ~472 live keyframes "
-                        "(full-size solve every window)"}),
-            file=sys.stderr,
-        )
+        result["late_mission_scans_per_sec"] = {
+            "inline_solve": round(inline_sps, 3),
+            "pipelined_solve": round(def_sps, 3),
+            "note": "~472 live keyframes, full-size solve every window",
+        }
+
+    if args.suite:
+        if "late_mission_scans_per_sec" in result:
+            print(
+                json.dumps({"metric": "late_mission_slam_scans_per_sec",
+                            "value": result["late_mission_scans_per_sec"]}),
+                file=sys.stderr,
+            )
         odo_sps = bench_odometry(jax, cfg, scans, gt, n_warm)
         print(
             json.dumps({"metric": "gicp_odometry_scans_per_sec",

@@ -382,6 +382,17 @@ def _solve_and_update(nodes, H, b, damping, node_mask):
     return new, delta
 
 
+def resolve_linear_solver(linear_solver: str, n_nodes: int) -> str:
+    """Resolve 'auto' to a concrete solver: dense-block Cholesky up to
+    K=256, matrix-free PCG above (the factorization is cubic in K and
+    loses past the crossover: 42 ms direct vs ~20 ms PCG at K=512 on
+    v5e). Single source of truth for the local AND distributed solvers —
+    K is static, so the choice compiles away."""
+    if linear_solver == "auto":
+        return "direct" if n_nodes <= 256 else "pcg"
+    return linear_solver
+
+
 class SolveStats(NamedTuple):
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
@@ -410,8 +421,7 @@ def optimize(
     to K=256, PCG above — the dense factorization is cubic in K and loses
     to matrix-free CG at full 512-keyframe capacity: 42 ms vs ~20 ms
     measured on v5e; K is static so the choice compiles away)."""
-    if linear_solver == "auto":
-        linear_solver = "direct" if nodes.t.shape[0] <= 256 else "pcg"
+    linear_solver = resolve_linear_solver(linear_solver, nodes.t.shape[0])
     c0 = graph_cost(nodes, edges)
     pcg = linear_solver == "pcg"
     use_schur = linear_solver == "schur"

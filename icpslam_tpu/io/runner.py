@@ -825,7 +825,8 @@ def main(argv=None) -> int:
         "optimizations": int(res.state.num_optimizations),
         "map_size": int(np.sum(np.asarray(res.state.map.size))),
         "map_overflow": int(np.sum(np.asarray(res.state.map.overflow))),
-        **({"stamp_origin": res.stamp_origin} if res.stamp_origin else {}),
+        **({"stamp_origin": res.stamp_origin}
+           if res.stamp_origin is not None else {}),
         **res.timing_summary(),
     }
     if gt is not None and gt.t.shape[0] == n:

@@ -197,11 +197,11 @@ def refine_and_grow(
             thresh = 0.1 * res_m
 
             def rq_cond(carry):
-                pose, corr_mag, rounds, ok, _f, nn_p, nn_m, d2 = carry
+                pose, corr_mag, rounds, ok, _f, _nn_p, _nn_m, _d2, _fnd = carry
                 return (rounds < extra_rounds) & ok & (corr_mag > thresh)
 
             def rq_body(carry):
-                pose, _mag, rounds, ok, _f, _nn_p, _nn_m, _d2 = carry
+                pose, _mag, rounds, ok, _f, _nn_p, _nn_m, _d2, _fnd = carry
                 res2, nn2, nn_robot2 = one_round(pose)
                 ok2 = res2.converged
                 corr2 = Pose(
@@ -216,21 +216,24 @@ def refine_and_grow(
                     jnp.where(ok2, nn_robot2.points, _nn_p),
                     jnp.where(ok2, nn_robot2.mask, _nn_m),
                     jnp.where(ok2, nn2.dist2, _d2),
+                    jnp.where(ok2, nn2.found, _fnd),
                 )
 
             carry0 = (
                 refined, jnp.linalg.norm(correction.t), jnp.asarray(0, jnp.int32),
-                success, icp_res.fitness, nn_robot.points, nn_robot.mask, nn.dist2,
+                success, icp_res.fitness, nn_robot.points, nn_robot.mask,
+                nn.dist2, nn.found,
             )
-            refined, _, _, success, fit_final, nn_pts_f, nn_mask_f, nn_d2_f = (
-                jax.lax.while_loop(rq_cond, rq_body, carry0)
+            (refined, _, _, success, fit_final,
+             nn_pts_f, nn_mask_f, nn_d2_f, nn_found_f) = jax.lax.while_loop(
+                rq_cond, rq_body, carry0
             )
+            rel_final = se3.relative(raw_pose, refined)
             correction = Pose(
-                t=jnp.where(success, se3.relative(raw_pose, refined).t, 0.0),
-                q=jnp.where(success, se3.relative(raw_pose, refined).q,
-                            se3.identity().q),
+                t=jnp.where(success, rel_final.t, 0.0),
+                q=jnp.where(success, rel_final.q, se3.identity().q),
             )
-            nn = nn._replace(dist2=nn_d2_f)
+            nn = nn._replace(dist2=nn_d2_f, found=nn_found_f)
             nn_robot = pc.PointCloud(points=nn_pts_f, mask=nn_mask_f)
             icp_res = icp_res._replace(fitness=fit_final)
 

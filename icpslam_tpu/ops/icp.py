@@ -259,10 +259,11 @@ def icp(
 
     def cond(carry: _Carry):
         small = carry.delta <= config.transformation_epsilon
-        if refresh > 1:
+        if refresh > 1 and not fixed_correspondences:
             # a small step against *stale* matches is not convergence —
             # only exit when the epsilon test passes on an iteration that
-            # ran a fresh NN search
+            # ran a fresh NN search. (Fixed correspondences are never
+            # stale — the identity pairing holds every iteration.)
             fresh_last = ((carry.it - 1) % refresh) == 0
             small = small & fresh_last
         return (carry.it < config.max_iterations) & ~small

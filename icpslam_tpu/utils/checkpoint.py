@@ -58,11 +58,13 @@ def load(path: str, template: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def rerender_map(state, config: SlamConfig):
+def rerender_map(state, config: SlamConfig, mesh=None):
     """Rebuild the voxel map from keyframe clouds at their graph poses.
 
     Returns a new ``SlamState`` with the regenerated map (used on resume
     and whenever a full map product is wanted after an optimize-reset).
+    ``mesh`` is required for ``config.map_backend == 'sharded'`` — the
+    rebuilt map is re-sharded by the same spatial hash.
     """
     from icpslam_tpu.geometry import quaternion as quat
     from icpslam_tpu.mapping import backend as map_backend
@@ -106,5 +108,5 @@ def rerender_map(state, config: SlamConfig):
                 m, world, config.map_resolution, nn.dist2, covs=covs_w
             )
         else:
-            m = map_backend.insert(m, world, config.map_resolution)
+            m = map_backend.insert(m, world, config.map_resolution, mesh=mesh)
     return state._replace(map=m)

@@ -124,6 +124,40 @@ class TestShardedStreamingSlam:
         # per-shard sizes bounded by the recent-scan content
         assert int(jnp.sum(st.map.size)) > 0
 
+    def test_checkpoint_roundtrip_with_sharded_map(self, tmp_path):
+        """Save/load a sharded-map state and re-render the map across the
+        mesh on resume (SURVEY §5.4 at multi-device scale)."""
+        from icpslam_tpu.utils import checkpoint
+
+        mesh = mesh_lib.make_mesh(4)
+        cfg = make_cfg("sharded", shards=4)
+        scans, gt = make_stream(cfg, n_poses=8, laps=0.4)
+        st, _ = drive(cfg, scans, gt, mesh=mesh)
+
+        path = str(tmp_path / "sharded_state.npz")
+        checkpoint.save(path, st)
+        restored = checkpoint.load(path, slam.init_state(cfg))
+        assert int(restored.keyframes.count) == int(st.keyframes.count)
+        np.testing.assert_allclose(
+            np.asarray(restored.slam_pose.t), np.asarray(st.slam_pose.t),
+            atol=1e-6,
+        )
+        # map shape round-trips with the device axis intact
+        assert restored.map.keys.shape == st.map.keys.shape
+
+        rerendered = checkpoint.rerender_map(restored, cfg, mesh=mesh)
+        assert int(jnp.sum(rerendered.map.size)) > 0
+        # rebuilt content is spatially sharded again (ownership partition)
+        from icpslam_tpu.parallel import sharded_map as sm
+
+        keys = np.asarray(rerendered.map.keys)
+        sizes = np.asarray(rerendered.map.size)
+        for d in range(keys.shape[0]):
+            live = keys[d, : sizes[d]]
+            if live.size:
+                owners = np.asarray(sm.owner_of(jnp.asarray(live), keys.shape[0]))
+                assert (owners == d).all()
+
     def test_run_scans_chunked_matches_stepwise(self):
         """The lax.scan chunked driver accepts the mesh too."""
         mesh = mesh_lib.make_mesh(4)

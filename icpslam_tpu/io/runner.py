@@ -195,6 +195,7 @@ def run_slam(
     if debug_dir is not None and chunk > 1:
         raise ValueError("--debug-dump requires chunk=1 (per-scan products)")
     n_dumps = 0
+    prev_map_size: Optional[int] = None  # debug mode: reseed-vs-failure
 
     if chunk > 1:
         run = jax.jit(slam.run_scans, static_argnums=(2,))
@@ -295,8 +296,13 @@ def run_slam(
             elif (
                 accepted and config.enable_scan_to_map
                 and not bool(out.refined) and int(out.num_keyframes) > 1
+                # an empty map before this scan means the expected
+                # optimize-reset reseed (refined=False by design,
+                # octree_mapper.cpp:138-142), not a failure
+                and (prev_map_size is None or prev_map_size > 0)
             ):
                 reason = "refine_fail"
+            prev_map_size = int(out.map_size)
             if reason is not None:
                 _dump_debug_scan(debug_dir, i, out, reason)
                 n_dumps += 1
@@ -659,6 +665,11 @@ def main(argv=None) -> int:
         from icpslam_tpu.io import synthetic
 
         physics = not args.no_proxy_physics
+        if args.deskew and not physics:
+            raise SystemExit(
+                "--deskew undoes the motion distortion of the physics "
+                "render; it does nothing with --no-proxy-physics"
+            )
         # sensor-physics render options (VERDICT r2 item 5): per-azimuth
         # motion distortion, range-growing noise, dropout, moving traffic
         stream_kw = dict(

@@ -193,8 +193,18 @@ def refine_and_grow(
             # map cell: the fixed pairing recovers only part of a large
             # error per round (the pairing was biased by the error
             # itself), so rounds must continue until the correction
-            # settles well below the cell size
+            # settles well below the cell size. Magnitude = MEAN SCAN-
+            # POINT DISPLACEMENT under the correction, not |t| alone — a
+            # rotation-dominant correction moves far points by many
+            # cells at near-zero translation and needs re-pairing just
+            # as much.
             thresh = 0.1 * res_m
+
+            def corr_displacement(corr):
+                moved = se3.transform_points(corr, scan.points)
+                d = jnp.linalg.norm(moved - scan.points, axis=-1)
+                n = jnp.maximum(jnp.sum(scan.mask.astype(d.dtype)), 1.0)
+                return jnp.sum(jnp.where(scan.mask, d, 0.0)) / n
 
             def rq_cond(carry):
                 pose, corr_mag, rounds, ok, _f, _nn_p, _nn_m, _d2, _fnd = carry
@@ -209,7 +219,7 @@ def refine_and_grow(
                     q=jnp.where(ok2, res2.pose.q, se3.identity().q),
                 )
                 pose2 = se3.normalize(se3.compose(pose, corr2))
-                mag2 = jnp.linalg.norm(corr2.t) * ok2.astype(pose.t.dtype)
+                mag2 = corr_displacement(corr2) * ok2.astype(pose.t.dtype)
                 return (
                     pose2, mag2, rounds + 1, ok | ok2,
                     jnp.where(ok2, res2.fitness, _f),
@@ -220,7 +230,8 @@ def refine_and_grow(
                 )
 
             carry0 = (
-                refined, jnp.linalg.norm(correction.t), jnp.asarray(0, jnp.int32),
+                refined, corr_displacement(correction),
+                jnp.asarray(0, jnp.int32),
                 success, icp_res.fitness, nn_robot.points, nn_robot.mask,
                 nn.dist2, nn.found,
             )

@@ -190,6 +190,10 @@ def measure_scaling(
             "pairs": B,
             "scans_per_sec": round(sps, 3),
             "efficiency": round(per_dev / base_per_dev, 4),
+            # efficiency is normalized to the SMALLEST rung measured —
+            # only a true linear-scaling fraction when that rung is 1
+            # device (include 1 in --devices for BASELINE metric 4)
+            "efficiency_vs_devices": counts[0],
             "solve_ms": {k: round(v, 3) for k, v in solve_ms.items()},
         })
     return results

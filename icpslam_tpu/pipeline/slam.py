@@ -328,8 +328,15 @@ def slam_step(
     ``parallel/sharded_map.py``). Everything else (odometry, keyframes,
     graph) is replicated. Close over it or pass via ``static_argnames``.
     """
-    if config.map_backend == "sharded" and mesh is None:
-        raise ValueError("map_backend='sharded' requires a mesh")
+    if config.map_backend == "sharded":
+        if mesh is None:
+            raise ValueError("map_backend='sharded' requires a mesh")
+        if mesh.size != config.map_shards:
+            raise ValueError(
+                f"mesh has {mesh.size} devices but config.map_shards="
+                f"{config.map_shards}; they must match (the map's leading "
+                "device axis is sized by map_shards)"
+            )
     # ---- 1. front-end odometry -------------------------------------------
     odom_state, oout = odo.odometry_step(state.odom, raw_scan, config)
     new_stamp = (

@@ -526,6 +526,13 @@ def main(argv=None) -> int:
         "(uses the kitti_config operating point)",
     )
     src.add_argument("--kitti", type=str, help="KITTI odometry root")
+    src.add_argument(
+        "--watch", type=str,
+        help="LIVE ingest: consume velodyne-format .bin scans as they "
+        "appear in this directory (producer renames files into place; "
+        "STOP file or idle timeout ends the run) — the transport-free "
+        "analog of the reference's live sensor topic",
+    )
     ap.add_argument("--seq", type=str, default="04")
     ap.add_argument("--poses", type=int, default=40, help="synthetic trajectory length")
     ap.add_argument("--start", type=int, default=0)
@@ -641,7 +648,7 @@ def main(argv=None) -> int:
 
     if args.config:
         cfg = _config_from_yaml_args(ap, args)
-    elif args.kitti_proxy or args.kitti:
+    elif args.kitti_proxy or args.kitti or args.watch:
         from icpslam_tpu.config import kitti_config
 
         # velodyne/urban operating point for both the real dataset and
@@ -733,6 +740,14 @@ def main(argv=None) -> int:
             else:
                 scans = stream
         init = se3.index(gt, 0)
+    elif args.watch:
+        from icpslam_tpu.io import live
+
+        scans = live.directory_stream(
+            args.watch, cfg.max_raw_points, with_stamps=True
+        )
+        init = None
+        log.info(f"watching {args.watch} for incoming scans")
     elif args.synthetic:
         from icpslam_tpu.io import synthetic
 

@@ -213,11 +213,17 @@ class TestRobustness:
         from icpslam_tpu import cloud as pcl
         import numpy as _np
 
-        # normal, empty, all-same-point, normal, NaN-free huge coords, normal
+        # a real sensor emits NaN rows for invalid returns (PCL's
+        # is_dense=false case); the accept gate must reject, not poison
+        nan_pts = _np.asarray(scans[1].points)[:800].copy()
+        nan_pts[::7] = _np.nan
+
+        # normal, empty, all-same-point, NaN returns, huge coords, normal
         degenerate = [
             scans[0],
             pcl.empty(cfg.max_raw_points),
             pcl.from_points(_np.zeros((100, 3), _np.float32), capacity=cfg.max_raw_points),
+            pcl.from_points(nan_pts, capacity=cfg.max_raw_points),
             scans[1],
             pcl.from_points(_np.full((50, 3), 1e6, _np.float32), capacity=cfg.max_raw_points),
             scans[2],

@@ -592,6 +592,7 @@ def main(argv=None) -> int:
         "ingest using a noisy-INS relative-motion measurement (the "
         "causal de-skew a KITTI-style OXTS rig performs)",
     )
+
     ap.add_argument(
         "--chunk", type=int, default=1,
         help="scans per device call (lax.scan chunking; parity with "
@@ -776,7 +777,7 @@ def main(argv=None) -> int:
         init = None
 
     backend = None
-    post_step = None
+    post_steps = []
     if args.deferred_optimize:
         import dataclasses as _dc
 
@@ -789,7 +790,17 @@ def main(argv=None) -> int:
             cfg,
             check_every=cfg.keyframes_window if args.chunk == 1 else 1,
         )
-        post_step = backend.maybe_launch_or_fold
+        post_steps.append(backend.maybe_launch_or_fold)
+
+    if not post_steps:
+        post_step = None
+    elif len(post_steps) == 1:
+        post_step = post_steps[0]
+    else:
+        def post_step(state, _fns=tuple(post_steps)):
+            for f in _fns:
+                state = f(state)
+            return state
 
     resume_state = None
     if args.resume:

@@ -5,14 +5,18 @@ The reference is fed by a live ROS topic
 (``/root/reference/src/icpslam/icp_odometer.cpp:147`` laser callback);
 this framework's transport-free analog is a watched spool directory — a
 producer (sensor daemon, rosbag bridge, another process) drops files,
-the host loop consumes them in order and feeds the jitted pipeline
-(SURVEY §5.8: "an optional thin adapter for streaming scans in from
-files/sockets"). No middleware; back-pressure is the filesystem.
+the host loop consumes them in sensor-stamp order and feeds the jitted
+pipeline (SURVEY §5.8: "an optional thin adapter for streaming scans in
+from files/sockets"). No middleware; back-pressure is the filesystem.
 
-Producer contract: write to a temp name and ``rename`` into place
-(atomic on POSIX) — files ending in ``.tmp`` / ``.part`` are ignored.
-Stream end: drop a ``STOP`` file, or stay silent for ``idle_timeout``
-seconds.
+Producer contract: name files ``<seconds>.bin`` (any digit count — the
+consumer orders by PARSED stamp, not lexicographically) and write via a
+temp name + ``rename`` (atomic on POSIX). Non-atomic writers are
+tolerated: a file is only consumed once its size is a whole number of
+16-byte records AND stable across two polls. Stream end: drop a ``STOP``
+file, or stay silent for ``idle_timeout`` seconds. For mission-scale
+runs, have a janitor delete consumed files — the consumer prunes its
+own bookkeeping, but the directory listing itself is the producer's.
 
     python -m icpslam_tpu.io.runner --watch /var/spool/scans
 """
@@ -21,14 +25,15 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
 from icpslam_tpu.cloud import pointcloud as pc
 
-_SKIP_SUFFIXES = (".tmp", ".part")
 STOP_FILE = "STOP"
+_RECORD_BYTES = 16  # float32 x, y, z, reflectance
+_SEEN_LIMIT = 8192  # bookkeeping bound for very long runs
 
 
 def _stamp_of(path: str) -> float:
@@ -52,29 +57,56 @@ def directory_stream(
     use_native: Optional[bool] = None,
 ) -> Iterator:
     """Yield padded scans (or ``(cloud, stamp)`` pairs) from ``path`` as
-    files arrive, in sorted filename order. Ends on a ``STOP`` file (after
-    draining everything before it) or after ``idle_timeout`` seconds with
-    no new files.
+    files arrive, ordered by parsed sensor stamp within each poll batch.
+    Ends on a ``STOP`` file (after draining everything before it) or
+    after ``idle_timeout`` seconds with no new files.
     """
     from icpslam_tpu.io import kitti, native_loader
 
     if use_native is None:
         use_native = native_loader.available()
-    seen = set()
+    seen: Dict[str, None] = {}  # insertion-ordered; pruned at _SEEN_LIMIT
+    sizes: Dict[str, int] = {}  # last observed size of not-yet-stable files
     last_new = time.monotonic()
     while True:
+        stop = False
+        candidates = []
         try:
-            entries = sorted(os.listdir(path))
+            with os.scandir(path) as it:
+                for e in it:
+                    if e.name == STOP_FILE:
+                        stop = True
+                    elif e.name.endswith(".bin") and e.name not in seen:
+                        candidates.append(e)
         except FileNotFoundError:
-            entries = []
-        stop = STOP_FILE in entries
-        new = [
-            f for f in entries
-            if f.endswith(".bin") and not f.endswith(_SKIP_SUFFIXES)
-            and f not in seen
-        ]
-        for f in new:
-            seen.add(f)
+            pass
+        # consume only size-stable, whole-record files (tolerates
+        # non-atomic producers: cp / cross-filesystem mv expose the
+        # destination name mid-copy)
+        ready = []
+        progress = False  # any file appeared, grew, or became ready
+        for e in candidates:
+            try:
+                size = e.stat().st_size
+            except OSError:
+                continue
+            if size % _RECORD_BYTES == 0 and sizes.get(e.name) == size:
+                ready.append(e.name)
+                sizes.pop(e.name, None)
+                progress = True
+            else:
+                if sizes.get(e.name) != size:
+                    progress = True
+                sizes[e.name] = size
+        # sort only the new batch, by parsed stamp (lexicographic order
+        # breaks at digit-count boundaries: '100.0.bin' < '99.9.bin')
+        ready.sort(key=lambda f: _stamp_of(os.path.join(path, f)))
+        for f in ready:
+            seen[f] = None
+            if len(seen) > _SEEN_LIMIT:
+                # in-order spool: the oldest entries are long consumed
+                for old in list(seen)[: _SEEN_LIMIT // 2]:
+                    del seen[old]
             full = os.path.join(path, f)
             if use_native:
                 cloud = native_loader.read_scan(
@@ -90,9 +122,11 @@ def directory_stream(
                 )
             last_new = time.monotonic()
             yield (cloud, _stamp_of(full)) if with_stamps else cloud
-        if stop and not new:
-            return  # everything before the STOP marker is drained
-        if not new:
+        if stop and not progress:
+            # STOP seen and nothing is still arriving/stabilizing —
+            # drained (a stuck partial file cannot wedge the shutdown)
+            return
+        if not ready:
             if time.monotonic() - last_new > idle_timeout:
                 return
             time.sleep(poll_interval)

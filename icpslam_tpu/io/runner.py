@@ -399,7 +399,9 @@ def run_slam(
             })
     wall = time.perf_counter() - t0
     return RunResult(
-        trajectory=se3.stack(poses), per_scan=per_scan, state=state,
+        # a live (--watch) stream can legitimately yield zero scans
+        trajectory=se3.stack(poses) if poses else se3.identity((0,)),
+        per_scan=per_scan, state=state,
         wall_time=wall, step_ms=step_ms, compile_ms=compile_ms,
         stamp_origin=stamp_origin,
     )
@@ -777,7 +779,7 @@ def main(argv=None) -> int:
         init = None
 
     backend = None
-    post_steps = []
+    post_step = None
     if args.deferred_optimize:
         import dataclasses as _dc
 
@@ -790,17 +792,7 @@ def main(argv=None) -> int:
             cfg,
             check_every=cfg.keyframes_window if args.chunk == 1 else 1,
         )
-        post_steps.append(backend.maybe_launch_or_fold)
-
-    if not post_steps:
-        post_step = None
-    elif len(post_steps) == 1:
-        post_step = post_steps[0]
-    else:
-        def post_step(state, _fns=tuple(post_steps)):
-            for f in _fns:
-                state = f(state)
-            return state
+        post_step = backend.maybe_launch_or_fold
 
     resume_state = None
     if args.resume:
@@ -880,7 +872,9 @@ def main(argv=None) -> int:
                     **summary,
                     "workload": (
                         "kitti_proxy" if args.kitti_proxy
-                        else ("synthetic" if args.synthetic else f"kitti_{args.seq}")
+                        else "synthetic" if args.synthetic
+                        else "live_watch" if args.watch
+                        else f"kitti_{args.seq}"
                     ),
                     "poses": n,  # scans actually run (cache may be shorter)
                     "backend": jax.default_backend(),
@@ -913,6 +907,7 @@ def main(argv=None) -> int:
             title="icpslam_tpu — " + (
                 "synthetic" if args.synthetic
                 else "KITTI-proxy" if args.kitti_proxy
+                else "live watch" if args.watch
                 else f"KITTI {args.seq}"
             ),
         )

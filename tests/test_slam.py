@@ -218,7 +218,8 @@ class TestRobustness:
         nan_pts = _np.asarray(scans[1].points)[:800].copy()
         nan_pts[::7] = _np.nan
 
-        # normal, empty, all-same-point, NaN returns, huge coords, normal
+        # normal, empty, all-same-point, NaN returns, normal, huge
+        # coords, normal
         degenerate = [
             scans[0],
             pcl.empty(cfg.max_raw_points),

@@ -108,7 +108,8 @@ class SlamConfig:
     # cost. False restores per-iteration re-matching.
     mapping_fixed_correspondences: bool = True
     # with fixed correspondences: total map-query+register rounds allowed
-    # when the correction is large (> map_resolution/4). Round 1 always
+    # when the correction is large (mean scan-point displacement
+    # > map_resolution/10, scan_to_map.py). Round 1 always
     # runs; extra rounds re-query the REAL map at the corrected pose
     # (strictly better than the reference re-matching within its stale
     # NN cloud) and only execute when the correction magnitude says the

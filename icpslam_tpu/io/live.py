@@ -13,10 +13,13 @@ Producer contract: name files ``<seconds>.bin`` (any digit count — the
 consumer orders by PARSED stamp, not lexicographically) and write via a
 temp name + ``rename`` (atomic on POSIX). Non-atomic writers are
 tolerated: a file is only consumed once its size is a whole number of
-16-byte records AND stable across two polls. Stream end: drop a ``STOP``
-file, or stay silent for ``idle_timeout`` seconds. For mission-scale
-runs, have a janitor delete consumed files — the consumer prunes its
-own bookkeeping, but the directory listing itself is the producer's.
+16-byte records AND stable across two polls. Files are expected to
+arrive in stamp order; a parseable-stamp file at or below the consumed
+watermark is treated as already consumed and never re-yielded (this is
+what keeps bookkeeping bounded on mission-scale runs even when the
+producer never deletes consumed files). Stream end: drop a ``STOP``
+file, or stay silent for ``idle_timeout`` seconds with no arriving or
+still-growing files.
 
     python -m icpslam_tpu.io.runner --watch /var/spool/scans
 """
@@ -67,6 +70,18 @@ def directory_stream(
         use_native = native_loader.available()
     seen: Dict[str, None] = {}  # insertion-ordered; pruned at _SEEN_LIMIT
     sizes: Dict[str, int] = {}  # last observed size of not-yet-stable files
+    # Highest consumed parseable filename stamp. Any not-in-``seen``
+    # ``.bin`` whose name parses to a stamp <= this is already consumed
+    # (or violates the in-order contract) and is never re-yielded — so
+    # evicting its name from ``seen`` can't re-ingest it as a duplicate.
+    watermark = float("-inf")
+
+    def _name_stamp(name: str) -> Optional[float]:
+        try:
+            return float(os.path.splitext(name)[0])
+        except ValueError:
+            return None
+
     last_new = time.monotonic()
     while True:
         stop = False
@@ -77,6 +92,9 @@ def directory_stream(
                     if e.name == STOP_FILE:
                         stop = True
                     elif e.name.endswith(".bin") and e.name not in seen:
+                        s = _name_stamp(e.name)
+                        if s is not None and s <= watermark:
+                            continue  # consumed before its name was evicted
                         candidates.append(e)
         except FileNotFoundError:
             pass
@@ -103,10 +121,18 @@ def directory_stream(
         ready.sort(key=lambda f: _stamp_of(os.path.join(path, f)))
         for f in ready:
             seen[f] = None
+            s = _name_stamp(f)
+            if s is not None and s > watermark:
+                watermark = s
             if len(seen) > _SEEN_LIMIT:
-                # in-order spool: the oldest entries are long consumed
+                # Evict only names the watermark covers (parseable stamp
+                # <= watermark): those can never be re-yielded. Names
+                # without a parseable stamp must stay pinned — the name
+                # set is their only duplicate guard.
                 for old in list(seen)[: _SEEN_LIMIT // 2]:
-                    del seen[old]
+                    so = _name_stamp(old)
+                    if so is not None and so <= watermark:
+                        del seen[old]
             full = os.path.join(path, f)
             if use_native:
                 cloud = native_loader.read_scan(
@@ -122,6 +148,11 @@ def directory_stream(
                 )
             last_new = time.monotonic()
             yield (cloud, _stamp_of(full)) if with_stamps else cloud
+        if progress:
+            # A file appeared, grew, or became ready: that's producer
+            # activity — a single large file taking > idle_timeout to
+            # write must defer the idle shutdown just like it defers STOP.
+            last_new = time.monotonic()
         if stop and not progress:
             # STOP seen and nothing is still arriving/stabilizing —
             # drained (a stuck partial file cannot wedge the shutdown)

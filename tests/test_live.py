@@ -70,6 +70,61 @@ class TestDirectoryStream:
         assert len(got) == 1
         assert time.monotonic() - t0 < 5.0
 
+    def test_watermark_prevents_reingest_after_eviction(
+        self, tmp_path, monkeypatch
+    ):
+        # Mission-scale runs exceed _SEEN_LIMIT; if the producer never
+        # deletes consumed files, evicted names must NOT reappear as
+        # duplicates (ADVICE r3). Shrink the limit so eviction fires.
+        monkeypatch.setattr(live, "_SEEN_LIMIT", 4)
+        d = str(tmp_path)
+        n_scans = 10
+        for i in range(n_scans):
+            _write_scan(d, f"{100.0 + 0.1 * i:.6f}.bin", _make_pts(i))
+        with open(os.path.join(d, live.STOP_FILE), "w"):
+            pass
+        got = list(live.directory_stream(d, capacity=1024, poll_interval=0.02))
+        # old files are still on disk and their names were evicted from
+        # the bookkeeping dict — the stamp watermark must keep them out
+        assert len(got) == n_scans
+        stamps = [s for _, s in got]
+        assert stamps == sorted(stamps)
+        assert len(set(stamps)) == n_scans
+
+    def test_growing_file_defers_idle_timeout(self, tmp_path):
+        # One large file written slower than idle_timeout must not end
+        # the stream mid-copy: growth counts as producer activity.
+        d = str(tmp_path)
+        pts = _make_pts(2, n=400)
+        raw = np.c_[pts, np.zeros((pts.shape[0], 1), np.float32)].astype(
+            np.float32
+        ).tobytes()
+        dest = os.path.join(d, "000007.bin")
+
+        def slow_producer():
+            # grow in NON-record-aligned steps (never consumable early),
+            # with total duration > idle_timeout but each step within it
+            with open(dest, "wb") as f:
+                step = len(raw) // 5 - 3  # not a multiple of 16
+                for off in range(0, len(raw), step):
+                    f.write(raw[off : off + step])
+                    f.flush()
+                    time.sleep(0.12)
+            with open(os.path.join(d, live.STOP_FILE), "w"):
+                pass
+
+        t = threading.Thread(target=slow_producer)
+        t.start()
+        got = list(
+            live.directory_stream(
+                d, capacity=1024, poll_interval=0.02, idle_timeout=0.4
+            )
+        )
+        t.join()
+        assert len(got) == 1
+        n = int(np.asarray(got[0][0].mask).sum())
+        assert n == pts.shape[0]
+
     def test_partial_files_are_ignored(self, tmp_path):
         d = str(tmp_path)
         # a producer mid-write must not be consumed

@@ -45,35 +45,41 @@ class SnapshotSolve(NamedTuple):
     map_to_odom: Pose      # correction at the snapshot's last keyframe
     final_cost: jnp.ndarray
     snapshot_count: jnp.ndarray  # int32 keyframes included in the solve
+    snapshot_lc: jnp.ndarray     # int32 lc_since_opt the solve consumed
 
 
 def solve_snapshot(
-    state: slam.SlamState, config: SlamConfig
+    state: slam.SlamState, config: SlamConfig, mesh=None
 ) -> SnapshotSolve:
     """The windowed solve on a snapshot of the live graph.
 
     Pure + jittable (``static_argnums=(1,)``); dispatch it WITHOUT
-    blocking on the result — that is the entire point.
+    blocking on the result — that is the entire point. Honors the same
+    back-end configuration as the inline solve: incremental window solves
+    between loop closures (``config.graph_incremental``) and the
+    distributed edge-sharded solvers when ``mesh`` is bound and
+    ``graph_linear_solver`` is a ``dist-*`` variant.
     """
     store = state.keyframes
-    mask = store.valid_mask()
-    kw = dict(
-        iterations=config.graph_solver_iterations,
-        mode=config.graph_solver,
-        linear_solver=config.graph_linear_solver,
-    )
-    if config.graph_bucketing:
-        nodes, stats = pg.optimize_bucketed(
-            store.pose_graph,
-            state.edges,
-            mask,
-            node_count=store.count,
-            edge_count=state.edges.count,
-            min_bucket=config.graph_bucket_min,
-            **kw,
-        )
+
+    if config.graph_incremental:
+        def full(st):
+            return slam._full_solve(st, config, mesh)
+
+        def window(st):
+            return pg.optimize_window(
+                st.keyframes.pose_graph,
+                st.edges,
+                st.keyframes.valid_mask(),
+                node_count=st.keyframes.count,
+                window=config.graph_window,
+                iterations=config.graph_solver_iterations,
+                mode=config.graph_solver,
+            )
+
+        nodes, stats = jax.lax.cond(state.lc_since_opt > 0, full, window, state)
     else:
-        nodes, stats = pg.optimize(store.pose_graph, state.edges, mask, **kw)
+        nodes, stats = slam._full_solve(state, config, mesh)
     last = jnp.maximum(store.count - 1, 0)
     m2o = se3.normalize(
         se3.compose(
@@ -86,6 +92,7 @@ def solve_snapshot(
         map_to_odom=m2o,
         final_cost=stats.final_cost,
         snapshot_count=store.count,
+        snapshot_lc=state.lc_since_opt,
     )
 
 
@@ -126,6 +133,12 @@ def fold(
         map=new_map,
         map_to_odom=m2o,
         kf_since_opt=(state.keyframes.count - solve.snapshot_count).astype(jnp.int32),
+        # loop edges that arrived AFTER the snapshot stay pending so the
+        # next solve goes full-graph (exact: the counter is monotone
+        # between resets)
+        lc_since_opt=jnp.maximum(
+            state.lc_since_opt - solve.snapshot_lc, 0
+        ).astype(jnp.int32),
         num_optimizations=state.num_optimizations + 1,
     )
 
@@ -140,10 +153,22 @@ class DeferredBackend:
     guarantee). ``flush`` folds any pending solve at end of stream.
     """
 
-    def __init__(self, config: SlamConfig, max_lag: int = 8, check_every: int = 1):
+    def __init__(
+        self,
+        config: SlamConfig,
+        max_lag: int = 8,
+        check_every: int = 1,
+        mesh=None,
+    ):
         if not config.defer_optimization:
             raise ValueError("config.defer_optimization must be True")
+        if config.graph_linear_solver.startswith("dist-") and mesh is None:
+            raise ValueError(
+                f"graph_linear_solver='{config.graph_linear_solver}' "
+                "requires mesh= (the deferred solve runs edge-sharded)"
+            )
         self.config = config
+        self.mesh = mesh
         self.max_lag = max_lag
         # launch-trigger cadence: how often to (re)arm the async probe of
         # kf_since_opt. The probe is polled with ``is_ready()`` and only
@@ -153,7 +178,11 @@ class DeferredBackend:
         # launches a few scans after the window actually fills — which
         # the fold's re-basing absorbs like any other lag.
         self.check_every = max(1, check_every)
-        self._solve = jax.jit(solve_snapshot, static_argnums=(1,))
+        import functools
+
+        self._solve = jax.jit(
+            functools.partial(solve_snapshot, mesh=mesh), static_argnums=(1,)
+        )
         self._fold = jax.jit(fold, static_argnums=(2,))
         self._pending: Optional[SnapshotSolve] = None
         self._probe = None  # in-flight async copy of state.kf_since_opt

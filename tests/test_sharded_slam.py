@@ -178,3 +178,60 @@ class TestShardedStreamingSlam:
             atol=1e-4,
         )
         assert int(jnp.sum(st_chunk.map.size)) == int(jnp.sum(st_step.map.size))
+
+
+class TestDistributedStreamingSolve:
+    """The streaming slam_step's windowed optimize routed through the
+    edge-sharded distributed solvers (VERDICT r3 item 1): with
+    ``graph_linear_solver='dist-*'`` and a mesh, the one blocking solve of
+    the reference (``icpslam.cpp:171``) runs distributed — and must be
+    trajectory-identical to the replicated solver."""
+
+    def test_dist_direct_matches_replicated(self):
+        # full solves every window (incremental off) so the dist path is
+        # exercised at every optimize, not only after loop closures
+        cfg_r = make_cfg("voxel", graph_incremental=False,
+                         graph_linear_solver="direct")
+        scans, gt = make_stream(cfg_r)
+        st_r, traj_r = drive(cfg_r, scans, gt)
+
+        mesh = mesh_lib.make_mesh(8)
+        cfg_d = make_cfg("voxel", graph_incremental=False,
+                         graph_linear_solver="dist-direct")
+        st_d, traj_d = drive(cfg_d, scans, gt, mesh=mesh)
+
+        assert int(st_d.num_optimizations) == int(st_r.num_optimizations)
+        assert int(st_d.num_optimizations) >= 1
+        # edge-sharded assembly + psum reduces in a different order than
+        # the single-device scatter-add — float-level tolerance only
+        np.testing.assert_allclose(
+            np.asarray(traj_d.t), np.asarray(traj_r.t), atol=1e-3
+        )
+
+    def test_dist_pcg_with_sharded_map_and_incremental(self):
+        """Everything on the mesh at once: spatially-sharded map +
+        distributed PCG full solves + incremental window solves between
+        loop closures."""
+        mesh = mesh_lib.make_mesh(8)
+        cfg = make_cfg(
+            "sharded", shards=8, graph_linear_solver="dist-pcg",
+            loop_closure_min_id_gap=6,
+        )
+        scans, gt = make_stream(cfg)
+        st, traj = drive(cfg, scans, gt, mesh=mesh)
+        assert int(st.num_optimizations) >= 1
+        assert bool(jnp.all(jnp.isfinite(st.slam_pose.t)))
+        # trajectory stays loop-consistent
+        err = np.linalg.norm(
+            np.asarray(traj.t) - np.asarray(gt.t)[: traj.t.shape[0]], axis=-1
+        )
+        assert err.max() < 0.6, err.max()
+
+    def test_dist_requires_mesh(self):
+        cfg = make_cfg("voxel", graph_linear_solver="dist-pcg")
+        scans, gt = make_stream(cfg, n_poses=2, laps=0.1)
+        try:
+            drive(cfg, scans, gt, mesh=None)
+            assert False, "expected ValueError without a mesh"
+        except ValueError as e:
+            assert "mesh" in str(e)

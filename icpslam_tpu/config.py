@@ -137,6 +137,17 @@ class SlamConfig:
     keyframes_window: int = 4         # optimize cadence, icpslam.yaml:23
     # 6-diagonals of the information matrices (icpslam.yaml:20-22)
     icp_information: Tuple[float, ...] = (100.0, 100.0, 100.0, 100.0, 100.0, 100.0)
+    # derive sequential-edge information matrices from the registration
+    # itself: the final Gauss-Newton Hessian JᵀWJ of the scan-to-map (or
+    # odometry) ICP, rescaled so its mean diagonal matches
+    # icp_information's (relative anisotropy from the measurement,
+    # overall weight vs loop/wheel edges still configured). The reference
+    # fakes this with fixed diagonals (icpslam.cpp:28-40) while its
+    # Pose6DOF carries a covariance everywhere (pose6DOF.h:15-126); here
+    # the per-keyframe covariance (inverse information) is stored in the
+    # keyframe store and threaded to exports. False keeps the reference's
+    # fixed diagonals.
+    adaptive_information: bool = False
     odometry_information: Tuple[float, ...] = (10.0, 10.0, 10.0, 10.0, 10.0, 10.0)
     loop_information: Tuple[float, ...] = (100.0, 100.0, 100.0, 100.0, 100.0, 100.0)
     # loop closures: the reference *intends* these (README.md:14-20, marker

@@ -26,6 +26,11 @@ class KeyframeStore(NamedTuple):
     stamp: jnp.ndarray     # (K,) float32 seconds
     points: jnp.ndarray    # (K, N, 3) keyframe clouds (downsampled)
     point_mask: jnp.ndarray  # (K, N) bool
+    cov: jnp.ndarray       # (K, 6, 6) measurement covariance of the
+    #                        registration that created each keyframe —
+    #                        the Pose6DOF covariance the reference carries
+    #                        (pose6DOF.h:15-126) and publishes with
+    #                        odometry (messaging_utils.cpp:26-49)
     count: jnp.ndarray     # int32 number of live keyframes
 
     @property
@@ -45,6 +50,7 @@ def empty(capacity: int, cloud_capacity: int, dtype=jnp.float32) -> KeyframeStor
         stamp=jnp.zeros((capacity,), dtype),
         points=jnp.zeros((capacity, cloud_capacity, 3), dtype),
         point_mask=jnp.zeros((capacity, cloud_capacity), bool),
+        cov=jnp.zeros((capacity, 6, 6), dtype),
         count=jnp.asarray(0, jnp.int32),
     )
 
@@ -55,14 +61,18 @@ def add(
     pose_graph: Pose,
     cloud: pc.PointCloud,
     stamp: jnp.ndarray,
+    cov: jnp.ndarray | None = None,
 ) -> Tuple[KeyframeStore, jnp.ndarray]:
     """Append a keyframe; returns (store, new_keyframe_index).
 
     At capacity the write is dropped (index clamps to capacity-1 but count
     stops growing) — callers can detect overflow via count == capacity.
+    ``cov``: optional (6, 6) measurement covariance (zeros = unknown).
     """
     idx = jnp.minimum(store.count, store.capacity - 1)
     full = store.count >= store.capacity
+    if cov is None:
+        cov = jnp.zeros((6, 6), store.cov.dtype)
 
     def upd(arr, val):
         return jnp.where(full, arr, arr.at[idx].set(val))
@@ -73,6 +83,7 @@ def add(
         stamp=upd(store.stamp, stamp),
         points=upd(store.points, cloud.points),
         point_mask=upd(store.point_mask, cloud.mask),
+        cov=upd(store.cov, cov),
         count=jnp.where(full, store.count, store.count + 1),
     )
     return new, idx

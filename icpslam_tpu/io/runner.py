@@ -77,6 +77,10 @@ def _records_from_chunk(out: slam.SlamOutput, base: int, live: int) -> List[dict
     lc, opt = get(out.loop_closure), get(out.optimized)
     ms, kf = get(out.map_size), get(out.num_keyframes)
     cost = get(out.graph_cost)
+    # (live, 6) registration-covariance diagonals — the covariance the
+    # reference publishes with every odometry message
+    # (``src/utils/messaging_utils.cpp:26-49``)
+    cov_d = np.einsum("kii->ki", np.asarray(out.pose_cov)[:live])
     return [
         {
             "scan": base + i,
@@ -91,6 +95,7 @@ def _records_from_chunk(out: slam.SlamOutput, base: int, live: int) -> List[dict
             "graph_cost": float(cost[i]),
             "map_size": int(ms[i]),
             "num_keyframes": int(kf[i]),
+            "pose_cov_diag": [round(float(x), 8) for x in cov_d[i]],
         }
         for i in range(live)
     ]
@@ -594,6 +599,12 @@ def main(argv=None) -> int:
         "ingest using a noisy-INS relative-motion measurement (the "
         "causal de-skew a KITTI-style OXTS rig performs)",
     )
+    ap.add_argument(
+        "--adaptive-information", action="store_true",
+        help="derive sequential-edge information matrices from the "
+        "registration's own GN Hessian instead of the fixed configured "
+        "diagonals (config.adaptive_information)",
+    )
 
     ap.add_argument(
         "--chunk", type=int, default=1,
@@ -777,6 +788,9 @@ def main(argv=None) -> int:
         except (FileNotFoundError, OSError):
             log.warn("no ground-truth poses found; skipping ATE")
         init = None
+
+    if args.adaptive_information:
+        cfg = cfg.replace(adaptive_information=True)
 
     backend = None
     post_step = None

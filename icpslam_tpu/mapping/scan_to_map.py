@@ -54,6 +54,9 @@ class RefineResult(NamedTuple):
     nn_points: jnp.ndarray    # (N, 3) robot-frame NN cloud — the reference's
     nn_mask: jnp.ndarray      # nn_cloud debug topic (octree_mapper.cpp:160);
     #                           zeros/False on the empty-map seed branch
+    hessian: jnp.ndarray      # (6, 6) final GN Hessian of the accepted
+    #                           registration (zeros unless
+    #                           config.adaptive_information and success)
 
 
 def _rotate_covs(covs6: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
@@ -123,6 +126,7 @@ def refine_and_grow(
             map=grown,
             nn_points=jnp.zeros((scan.capacity, 3), jnp.float32),
             nn_mask=jnp.zeros((scan.capacity,), bool),
+            hessian=jnp.zeros((6, 6), jnp.float32),
         )
 
     def refine(_):
@@ -163,11 +167,19 @@ def refine_and_grow(
             icp_res = icp_ops.icp(
                 scan, nn_robot, icfg,
                 fixed_correspondences=config.mapping_fixed_correspondences,
+                want_hessian=config.adaptive_information,
                 **kwargs,
             )
             return icp_res, nn, nn_robot
 
+        def res_hess(r):
+            return (
+                r.hessian if config.adaptive_information
+                else jnp.zeros((6, 6), jnp.float32)
+            )
+
         icp_res, nn, nn_robot = one_round(raw_pose)
+        hess = res_hess(icp_res)
         # reference accepts on hasConverged() alone here (no fitness gate,
         # ``octree_mapper.cpp:117``)
         success = icp_res.converged
@@ -207,11 +219,11 @@ def refine_and_grow(
                 return jnp.sum(jnp.where(scan.mask, d, 0.0)) / n
 
             def rq_cond(carry):
-                pose, corr_mag, rounds, ok, _f, _nn_p, _nn_m, _d2, _fnd = carry
+                pose, corr_mag, rounds, ok, _f, _nn_p, _nn_m, _d2, _fnd, _h = carry
                 return (rounds < extra_rounds) & ok & (corr_mag > thresh)
 
             def rq_body(carry):
-                pose, _mag, rounds, ok, _f, _nn_p, _nn_m, _d2, _fnd = carry
+                pose, _mag, rounds, ok, _f, _nn_p, _nn_m, _d2, _fnd, _h = carry
                 res2, nn2, nn_robot2 = one_round(pose)
                 ok2 = res2.converged
                 corr2 = Pose(
@@ -227,16 +239,17 @@ def refine_and_grow(
                     jnp.where(ok2, nn_robot2.mask, _nn_m),
                     jnp.where(ok2, nn2.dist2, _d2),
                     jnp.where(ok2, nn2.found, _fnd),
+                    jnp.where(ok2, res_hess(res2), _h),
                 )
 
             carry0 = (
                 refined, corr_displacement(correction),
                 jnp.asarray(0, jnp.int32),
                 success, icp_res.fitness, nn_robot.points, nn_robot.mask,
-                nn.dist2, nn.found,
+                nn.dist2, nn.found, hess,
             )
             (refined, _, _, success, fit_final,
-             nn_pts_f, nn_mask_f, nn_d2_f, nn_found_f) = jax.lax.while_loop(
+             nn_pts_f, nn_mask_f, nn_d2_f, nn_found_f, hess) = jax.lax.while_loop(
                 rq_cond, rq_body, carry0
             )
             rel_final = se3.relative(raw_pose, refined)
@@ -280,6 +293,7 @@ def refine_and_grow(
             map=final_map,
             nn_points=nn_robot.points,
             nn_mask=nn_robot.mask,
+            hessian=hess * success.astype(jnp.float32),
         )
 
     return jax.lax.cond(map_empty, seed, refine, operand=None)

@@ -55,6 +55,12 @@ class IcpResult(NamedTuple):
     converged: jnp.ndarray          # bool: enough correspondences & finite
     num_correspondences: jnp.ndarray
     iterations: jnp.ndarray
+    # (6, 6) Gauss-Newton Hessian JᵀWJ at the final pose (t before rot
+    # ordering, matching se3 twists) — the registration's information
+    # matrix, the principled source for pose-graph edge weights the
+    # reference fakes with fixed configured diagonals
+    # (``src/icpslam/icpslam.cpp:28-40``). None unless ``want_hessian``.
+    hessian: Optional[jnp.ndarray] = None
 
 
 def _huber_weights(dist: jnp.ndarray, delta: float) -> jnp.ndarray:
@@ -63,6 +69,55 @@ def _huber_weights(dist: jnp.ndarray, delta: float) -> jnp.ndarray:
         return jnp.ones_like(dist)
     safe = jnp.maximum(dist, 1e-12)
     return jnp.where(dist <= delta, 1.0, delta / safe)
+
+
+def _gn_terms(Wa, Wb, Wc, Wd, We, Wf, px, py, pz, rx, ry, rz):
+    """(27, N) per-point accumulators of the se(3) Gauss-Newton system
+    with per-point symmetric 3×3 information W and J_i = [I | −skew(p_i)]:
+    rows 0-20 build JᵀWJ, rows 21-26 build JᵀW r (see ``_gn_hessian``)."""
+    ux = Wa * rx + Wb * ry + Wc * rz
+    uy = Wb * rx + Wd * ry + We * rz
+    uz = Wc * rx + We * ry + Wf * rz
+    # With J_i = [I | −skew(p_i)]: JᵀWJ = [[W, −M],[−Mᵀ, −skew(p)·M]]
+    # where M = W·skew(p); b_i = JᵀW r = [u; p×u].
+    m00 = Wb * pz - Wc * py
+    m01 = Wc * px - Wa * pz
+    m02 = Wa * py - Wb * px
+    m10 = Wd * pz - We * py
+    m11 = We * px - Wb * pz
+    m12 = Wb * py - Wd * px
+    m20 = We * pz - Wf * py
+    m21 = Wf * px - Wc * pz
+    m22 = Wc * py - We * px
+    br00 = pz * m10 - py * m20
+    br01 = pz * m11 - py * m21
+    br02 = pz * m12 - py * m22
+    br11 = px * m21 - pz * m01
+    br12 = px * m22 - pz * m02
+    br22 = py * m02 - px * m12
+    cx = py * uz - pz * uy
+    cy = pz * ux - px * uz
+    cz = px * uy - py * ux
+    return jnp.stack(
+        [Wa, Wb, Wc, Wd, We, Wf,
+         m00, m01, m02, m10, m11, m12, m20, m21, m22,
+         br00, br01, br02, br11, br12, br22,
+         ux, uy, uz, cx, cy, cz]
+    )
+
+
+def _gn_hessian(s):
+    """6×6 H from the 21 reduced accumulator sums (``_gn_terms`` rows)."""
+    return jnp.stack(
+        [
+            jnp.stack([s[0], s[1], s[2], -s[6], -s[7], -s[8]]),
+            jnp.stack([s[1], s[3], s[4], -s[9], -s[10], -s[11]]),
+            jnp.stack([s[2], s[4], s[5], -s[12], -s[13], -s[14]]),
+            jnp.stack([-s[6], -s[9], -s[12], s[15], s[16], s[17]]),
+            jnp.stack([-s[7], -s[10], -s[13], s[16], s[18], s[19]]),
+            jnp.stack([-s[8], -s[11], -s[14], s[17], s[19], s[20]]),
+        ]
+    )
 
 
 class _Carry(NamedTuple):
@@ -85,6 +140,7 @@ def icp(
     nn_block: int = 1024,
     target_valid_len: Optional[jnp.ndarray] = None,
     fixed_correspondences: bool = False,
+    want_hessian: bool = False,
 ) -> IcpResult:
     """Register ``source`` onto ``target``; returns target-frame pose of source.
 
@@ -199,48 +255,10 @@ def icp(
                 tg[0] + ba, tg[1] + bb, tg[2] + bc,
                 tg[3] + bd, tg[4] + be, tg[5] + bf,
             )
-            # u = W r (information-weighted residual)
-            ux = Wa * rx + Wb * ry + Wc * rz
-            uy = Wb * rx + Wd * ry + We * rz
-            uz = Wc * rx + We * ry + Wf * rz
-            # With J_i = [I | −skew(p_i)]: JᵀWJ = [[W, −M],[−Mᵀ, −skew(p)·M]]
-            # where M = W·skew(p); b_i = JᵀW r = [u; p×u].
-            m00 = Wb * pz - Wc * py
-            m01 = Wc * px - Wa * pz
-            m02 = Wa * py - Wb * px
-            m10 = Wd * pz - We * py
-            m11 = We * px - Wb * pz
-            m12 = Wb * py - Wd * px
-            m20 = We * pz - Wf * py
-            m21 = Wf * px - Wc * pz
-            m22 = Wc * py - We * px
-            br00 = pz * m10 - py * m20
-            br01 = pz * m11 - py * m21
-            br02 = pz * m12 - py * m22
-            br11 = px * m21 - pz * m01
-            br12 = px * m22 - pz * m02
-            br22 = py * m02 - px * m12
-            cx = py * uz - pz * uy
-            cy = pz * ux - px * uz
-            cz = px * uy - py * ux
             # one fused weighted-reduction pass over all 27 accumulators
-            terms = jnp.stack(
-                [Wa, Wb, Wc, Wd, We, Wf,
-                 m00, m01, m02, m10, m11, m12, m20, m21, m22,
-                 br00, br01, br02, br11, br12, br22,
-                 ux, uy, uz, cx, cy, cz]
-            )
+            terms = _gn_terms(Wa, Wb, Wc, Wd, We, Wf, px, py, pz, rx, ry, rz)
             s = jnp.sum(terms * w, axis=1)
-            H = jnp.stack(
-                [
-                    jnp.stack([s[0], s[1], s[2], -s[6], -s[7], -s[8]]),
-                    jnp.stack([s[1], s[3], s[4], -s[9], -s[10], -s[11]]),
-                    jnp.stack([s[2], s[4], s[5], -s[12], -s[13], -s[14]]),
-                    jnp.stack([-s[6], -s[9], -s[12], s[15], s[16], s[17]]),
-                    jnp.stack([-s[7], -s[10], -s[13], s[16], s[18], s[19]]),
-                    jnp.stack([-s[8], -s[11], -s[14], s[17], s[19], s[20]]),
-                ]
-            )
+            H = _gn_hessian(s)
             delta = solve_chol_unrolled(H, -s[21:27], damping=1e-6)
             ok = jnp.sum(corr) >= MIN_CORRESPONDENCES
             delta = jnp.where(ok, delta, 0.0)
@@ -307,10 +325,43 @@ def icp(
         t=jnp.where(pose_finite, final.pose.t, 0.0),
         q=jnp.where(pose_finite, final.pose.q, quat.identity()),
     )
+
+    hessian = None
+    if want_hessian:
+        # Assemble JᵀWJ once more at the FINAL pose with the final
+        # correspondences — no NN sweep, one VPU reduction pass. Point
+        # mode uses W = I per point (the Kabsch objective's GN
+        # information); plane mode re-evaluates the fused GICP weights at
+        # the final rotation.
+        Rf, fpx, fpy, fpz = transform_comps(safe_pose)
+        fidx, fmatched = (
+            (ident_idx, ident_matched) if fixed_correspondences
+            else (final.idx, final.matched)
+        )
+        (frx, fry, frz), fd2, fcorr = match_eval(fidx, fmatched, fpx, fpy, fpz)
+        fdist = jnp.sqrt(jnp.maximum(fd2, 0.0))
+        fw = _huber_weights(fdist, config.huber_delta) * fcorr.astype(fpx.dtype)
+        if plane:
+            ba, bb, bc, bd, be, bf = rotate_sym3_comps(Rf, sc)
+            tg = tc6[:, fidx]
+            Wa, Wb, Wc, Wd, We, Wf = inv_sym3_comps(
+                tg[0] + ba, tg[1] + bb, tg[2] + bc,
+                tg[3] + bd, tg[4] + be, tg[5] + bf,
+            )
+        else:
+            one = jnp.ones_like(fpx)
+            zero = jnp.zeros_like(fpx)
+            Wa, Wb, Wc, Wd, We, Wf = one, zero, zero, one, zero, one
+        terms = _gn_terms(Wa, Wb, Wc, Wd, We, Wf, fpx, fpy, fpz, frx, fry, frz)
+        s = jnp.sum(terms * fw, axis=1)
+        hessian = _gn_hessian(s)
+        hessian = jnp.where(jnp.all(jnp.isfinite(hessian)), hessian, 0.0)
+
     return IcpResult(
         pose=safe_pose,
         fitness=fitness,
         converged=converged,
         num_correspondences=n_corr,
         iterations=final.it,
+        hessian=hessian,
     )

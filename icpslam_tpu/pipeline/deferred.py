@@ -178,11 +178,12 @@ class DeferredBackend:
         # launches a few scans after the window actually fills — which
         # the fold's re-basing absorbs like any other lag.
         self.check_every = max(1, check_every)
-        import functools
-
-        self._solve = jax.jit(
-            functools.partial(solve_snapshot, mesh=mesh), static_argnums=(1,)
-        )
+        # jit the MODULE-LEVEL function with mesh as a static arg — a
+        # functools.partial here would be a fresh function object per
+        # backend instance, defeating jit-cache sharing across instances
+        # (measured: a 25 s recompile inside the timed stream when the
+        # bench builds one backend for warmup and another for the run)
+        self._solve = jax.jit(solve_snapshot, static_argnums=(1, 2))
         self._fold = jax.jit(fold, static_argnums=(2,))
         self._pending: Optional[SnapshotSolve] = None
         self._probe = None  # in-flight async copy of state.kf_since_opt
@@ -210,7 +211,7 @@ class DeferredBackend:
             # vs one per check before (ADVICE r2).
             if self._probe.is_ready() or self._probe_age >= self.max_lag:
                 if int(self._probe) >= self.config.keyframes_window:
-                    self._pending = self._solve(state, self.config)  # async
+                    self._pending = self._solve(state, self.config, self.mesh)  # async
                     self._probe = None
                     self._age = 0
                     self.num_launched += 1
@@ -234,7 +235,7 @@ class DeferredBackend:
             self.num_folded += 1
         self._probe = None
         if int(state.kf_since_opt) >= self.config.keyframes_window:
-            solve = self._solve(state, self.config)
+            solve = self._solve(state, self.config, self.mesh)
             state = self._fold(state, solve, self.config)
             self.num_launched += 1
             self.num_folded += 1

@@ -72,6 +72,9 @@ class OdometryOutput(NamedTuple):
                                # `filtered` (linalg3.mat_to_sym6 layout;
                                # meaningful only in plane mode — identity
                                # placeholders otherwise)
+    hessian: jnp.ndarray       # (6, 6) final GN Hessian of the accepted
+                               # registration (zeros unless
+                               # config.adaptive_information and accepted)
 
 
 def init_state(config: SlamConfig, initial_pose: Pose | None = None) -> OdometryState:
@@ -167,6 +170,7 @@ def odometry_step(
             # voxel_downsample outputs are prefix-packed -> the NN kernel
             # can skip dead-capacity tiles (cost scales with fill)
             target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
+            want_hessian=config.adaptive_information,
         )
         accepted = res.converged & (res.fitness < icfg.fitness_threshold)
         # icp maps current scan into the previous frame → relative motion
@@ -174,7 +178,15 @@ def odometry_step(
             t=jnp.where(accepted, res.pose.t, 0.0),
             q=jnp.where(accepted, res.pose.q, se3.identity().q),
         )
-        return transform, accepted, res.fitness, res.num_correspondences, res.iterations
+        hess = (
+            res.hessian * accepted.astype(jnp.float32)
+            if config.adaptive_information
+            else jnp.zeros((6, 6), jnp.float32)
+        )
+        return (
+            transform, accepted, res.fitness, res.num_correspondences,
+            res.iterations, hess,
+        )
 
     def no_register(_):
         ident = se3.identity()
@@ -184,9 +196,10 @@ def odometry_step(
             jnp.asarray(jnp.inf, jnp.float32),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
+            jnp.zeros((6, 6), jnp.float32),
         )
 
-    transform, accepted, fitness, n_corr, iters = jax.lax.cond(
+    transform, accepted, fitness, n_corr, iters, hessian = jax.lax.cond(
         do_register, register, no_register, operand=None
     )
 
@@ -235,5 +248,6 @@ def odometry_step(
         num_voxels=num_voxels,
         filtered=filtered,
         filtered_covs=covs,
+        hessian=hessian,
     )
     return new_state, out

@@ -82,6 +82,9 @@ class SlamOutput(NamedTuple):
     graph_cost: jnp.ndarray    # final cost of the last optimization (inf before)
     map_size: jnp.ndarray
     num_keyframes: jnp.ndarray
+    pose_cov: jnp.ndarray = None  # (6, 6) measurement covariance of this
+    # scan's registration (inverse edge information; the covariance the
+    # reference publishes with odometry, messaging_utils.cpp:26-49)
     debug: Optional[DebugInfo] = None  # only with config.collect_debug
 
 
@@ -144,6 +147,37 @@ def ingest_wheel_odometry(
 
 def _information(diag: tuple) -> jnp.ndarray:
     return jnp.diag(jnp.asarray(diag, jnp.float32))
+
+
+def _adaptive_information(H: jnp.ndarray, diag: tuple) -> jnp.ndarray:
+    """Edge information from the registration's GN Hessian JᵀWJ.
+
+    Rescaled block-wise by a congruence transform S H S (S diagonal, so
+    PSD is preserved): the translation 3×3 block's mean diagonal is
+    normalized to the configured translation diagonal and the rotation
+    block to the configured rotation diagonal. The measurement supplies
+    relative anisotropy *within* each block — which directions the scan
+    geometry actually constrains — while the configured magnitudes keep
+    sequential edges commensurate with loop/wheel edges in both units
+    (a whole-matrix rescale would let the rotation entries, which grow
+    with range², drown the translation weights). Falls back to the fixed
+    diagonal whenever the Hessian is degenerate (rejected registration,
+    too few correspondences). Replaces the reference's fixed
+    ``icp_information_matrix`` (``icpslam.cpp:28-40``)."""
+    fixed = _information(diag)
+    d = jnp.asarray(diag, jnp.float32)
+    t_tgt, r_tgt = jnp.mean(d[:3]), jnp.mean(d[3:])
+    sym = 0.5 * (H + H.T)
+    t_tr = jnp.trace(sym[:3, :3]) / 3.0
+    r_tr = jnp.trace(sym[3:, 3:]) / 3.0
+    ok = (t_tr > 1e-6) & (r_tr > 1e-6) & jnp.all(jnp.isfinite(H))
+    s_t = jnp.sqrt(t_tgt / jnp.maximum(t_tr, 1e-6))
+    s_r = jnp.sqrt(r_tgt / jnp.maximum(r_tr, 1e-6))
+    s = jnp.concatenate([jnp.full((3,), s_t), jnp.full((3,), s_r)])
+    sym = sym * s[:, None] * s[None, :]
+    # small ridge keeps the information invertible for the covariance
+    sym = sym + 1e-3 * jnp.minimum(t_tgt, r_tgt) * jnp.eye(6, dtype=H.dtype)
+    return jnp.where(ok, sym, fixed)
 
 
 def _try_loop_closure(
@@ -473,15 +507,16 @@ def slam_step(
             scan_covs=oout.filtered_covs if covs_reusable else None,
             mesh=mesh,
         )
-        return r.map, r.refined_pose, r.success, r.nn_points, r.nn_mask
+        return r.map, r.refined_pose, r.success, r.nn_points, r.nn_mask, r.hessian
 
     def without_refine(_):
         return (
             state.map, raw_pose, jnp.asarray(False),
             jnp.zeros((N, 3), jnp.float32), jnp.zeros((N,), bool),
+            jnp.zeros((6, 6), jnp.float32),
         )
 
-    new_map, slam_pose, refined, nn_pts, nn_mask = jax.lax.cond(
+    new_map, slam_pose, refined, nn_pts, nn_mask, refine_hess = jax.lax.cond(
         do_refine, with_refine, without_refine, operand=None
     )
     state = state._replace(map=new_map, slam_pose=slam_pose)
@@ -501,12 +536,24 @@ def slam_step(
     room = state.keyframes.count < state.keyframes.capacity
     want_kf = want_kf & room
 
+    # sequential-edge information: ICP-derived (scan-to-map Hessian when
+    # the refinement succeeded, odometry Hessian otherwise) or the
+    # reference's fixed diagonals. The inverse is the keyframe's pose
+    # measurement covariance (Pose6DOF parity), stored + exported.
+    if config.adaptive_information:
+        meas_hess = jnp.where(refined, refine_hess, oout.hessian)
+        seq_info = _adaptive_information(meas_hess, config.icp_information)
+    else:
+        seq_info = _information(config.icp_information)
+    pose_cov = jnp.linalg.inv(seq_info + 1e-6 * jnp.eye(6))
+
     def add_keyframe(_):
         node_pose = se3.normalize(se3.compose(state.map_to_odom, slam_pose))
         prev_idx = jnp.maximum(state.keyframes.count - 1, 0)
         prev_odom = kf.latest_odom(state.keyframes)
         store2, new_idx = kf.add(
-            state.keyframes, slam_pose, node_pose, oout.filtered, state.stamp
+            state.keyframes, slam_pose, node_pose, oout.filtered, state.stamp,
+            cov=pose_cov,
         )
         # sequential edge from odometry (``:82-84``), skipped for the first kf
         rel = se3.relative(prev_odom, slam_pose)
@@ -516,7 +563,7 @@ def slam_step(
             prev_idx,
             new_idx,
             rel,
-            _information(config.icp_information),
+            seq_info,
             enable=not_first,
         )
         # wheel-odometry edge between the same keyframe pair (the fusion
@@ -593,6 +640,7 @@ def slam_step(
         graph_cost=opt_cost,
         map_size=map_backend.total_size(state.map),
         num_keyframes=state.keyframes.count,
+        pose_cov=pose_cov,
         debug=debug,
     )
     return state, out

@@ -75,12 +75,16 @@ def export_pose_graph_json(path: str, state, config=None) -> dict:
     t = np.asarray(store.pose_graph.t)[:n]
     q = np.asarray(store.pose_graph.q)[:n]
     stamps = np.asarray(store.stamp)[:n]
+    # per-keyframe measurement covariance diagonal (Pose6DOF parity,
+    # ``pose6DOF.h:15-126``); all-zero rows mean "not recorded"
+    cov_diag = np.einsum("kii->ki", np.asarray(store.cov)[:n])
     nodes = [
         {
             "id": i,
             "stamp": float(stamps[i]),
             "t": [float(x) for x in t[i]],
             "q_wxyz": [float(x) for x in q[i]],
+            "cov_diag": [float(x) for x in cov_diag[i]],
             # id-proportional color ramp position (``icpslam.cpp:260-275``)
             "ramp": i / max(n - 1, 1),
         }

@@ -363,3 +363,50 @@ class TestRadiusCovariance:
         covs = np.asarray(
             sym6_to_mat(covariance.gicp_covariances_radius(cloud, radius=0.5)))
         np.testing.assert_allclose(covs[:3], np.broadcast_to(np.eye(3), (3, 3, 3)))
+
+
+class TestIcpHessian:
+    """``want_hessian``: the final-pose GN Hessian JᵀWJ (the edge
+    information source replacing the reference's fixed diagonals,
+    ``icpslam.cpp:28-40``)."""
+
+    def test_point_mode_matches_numpy(self):
+        # identical clouds at identity: every point matches itself with
+        # w=1 and H = Σ [[I, −skew(p)], [skew(p)ᵀ·... ]] — build directly
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(-2, 2, (64, 3)).astype(np.float32)
+        cloud = pc.from_points(pts, capacity=64)
+        cfg = IcpConfig(mode="point", max_iterations=3, huber_delta=0.0)
+        res = icp_mod.icp(cloud, cloud, cfg, want_hessian=True)
+        assert res.hessian is not None
+
+        def skew(p):
+            return np.array([[0, -p[2], p[1]], [p[2], 0, -p[0]], [-p[1], p[0], 0]])
+
+        H_ref = np.zeros((6, 6))
+        for p in pts:
+            J = np.concatenate([np.eye(3), -skew(p)], axis=1)  # (3, 6)
+            H_ref += J.T @ J
+        np.testing.assert_allclose(
+            np.asarray(res.hessian), H_ref, rtol=1e-3, atol=1e-2
+        )
+
+    def test_plane_mode_symmetric_pd(self):
+        source, target, gt = make_scan_pair(11)
+        covs_s = covariance.gicp_covariances(source, k=8)
+        covs_t = covariance.gicp_covariances(target, k=8)
+        cfg = IcpConfig(mode="plane", max_iterations=15)
+        res = icp_mod.icp(
+            source, target, cfg, source_covs=covs_s, target_covs=covs_t,
+            want_hessian=True,
+        )
+        H = np.asarray(res.hessian)
+        np.testing.assert_allclose(H, H.T, atol=1e-2 * np.abs(H).max())
+        w = np.linalg.eigvalsh(0.5 * (H + H.T))
+        assert w.min() > 0, w  # registered overlap constrains all 6 DoF
+
+    def test_off_by_default(self):
+        source, target, _ = make_scan_pair(12)
+        cfg = IcpConfig(mode="point", max_iterations=3)
+        res = icp_mod.icp(source, target, cfg)
+        assert res.hessian is None

@@ -292,3 +292,51 @@ class TestIncrementalBackend:
             np.asarray(state_f.keyframes.pose_graph.t),
             atol=1e-5,
         )
+
+
+class TestAdaptiveInformation:
+    def test_adaptive_edges_and_covariance_export(self):
+        """config.adaptive_information: sequential edges carry the
+        registration's (rescaled) GN Hessian, keyframes store its inverse
+        as the Pose6DOF-parity covariance, and the trajectory stays
+        within tolerance of the fixed-information run."""
+        cfg_f = slam_cfg()
+        state_f, outs_f, gt = run(cfg_f)
+        cfg_a = slam_cfg(adaptive_information=True)
+        state_a, outs_a, _ = run(cfg_a)
+
+        n = int(state_a.keyframes.count)
+        assert n == int(state_f.keyframes.count)
+
+        # sequential edges: anisotropic, symmetric, PD in adaptive mode
+        ne = int(state_a.edges.count)
+        infos = np.asarray(state_a.edges.info)[:ne]
+        ei = np.asarray(state_a.edges.i)[:ne]
+        ej = np.asarray(state_a.edges.j)[:ne]
+        seq = [k for k in range(ne) if abs(int(ej[k]) - int(ei[k])) == 1]
+        assert seq
+        off = max(
+            float(np.abs(infos[k] - np.diag(np.diag(infos[k]))).max())
+            for k in seq
+        )
+        assert off > 0.0, "adaptive information stayed diagonal"
+        for k in seq[:4]:
+            w = np.linalg.eigvalsh(0.5 * (infos[k] + infos[k].T))
+            assert w.min() > 0, w
+
+        # keyframe covariance populated (inverse information)
+        cov_d = np.einsum("kii->ki", np.asarray(state_a.keyframes.cov))[:n]
+        assert (cov_d > 0).all()
+        # fixed mode stores the fixed inverse: 1/100 on every axis
+        cov_f = np.einsum("kii->ki", np.asarray(state_f.keyframes.cov))[:n]
+        np.testing.assert_allclose(cov_f, 0.01, rtol=1e-3)
+
+        # per-scan output covariance present in both modes
+        assert np.asarray(outs_a[-1].pose_cov).shape == (6, 6)
+
+        # trajectory quality preserved (same loop closures, similar ATE)
+        est_a = se3.stack([o.pose_map for o in outs_a])
+        est_f = se3.stack([o.pose_map for o in outs_f])
+        ate_a, _ = metrics.ate(est_a, gt, align=False)
+        ate_f, _ = metrics.ate(est_f, gt, align=False)
+        assert ate_a < max(2.0 * ate_f, 0.1), (ate_a, ate_f)

@@ -91,6 +91,36 @@ class SlamConfig:
     num_clouds_skip: int = 0          # icpslam.yaml:13
     voxel_leaf_size: float = 0.2      # icpslam.yaml:14
     icp_odometry: IcpConfig = dataclasses.field(default_factory=IcpConfig)
+    # in-loop iterative motion de-skew (no INS): > 0 runs that many
+    # alternating re-skew ↔ register rounds per scan inside the odometry
+    # step — de-skew the raw sweep with the current motion estimate
+    # (constant-velocity seed = last accepted transform), voxel-filter,
+    # register against the previous (clean) cloud, update the estimate,
+    # repeat. Sweep fractions derive from point azimuth
+    # (cloud/deskew.py); the filtered cloud handed to mapping is the
+    # final de-skewed one. 0 (default) compiles the whole path out —
+    # the reference has no de-skew at all. The INS-measured alternative
+    # stays at ingest (runner --deskew). 2 rounds suffice (DESIGN §14).
+    deskew_rounds: int = 0
+    # 'joint' (default): ONE 12-DoF registration jointly estimates the
+    # inter-scan pose AND the current sweep's intra-scan motion from the
+    # capture-time-correlated residual structure (ops/skew_icp.py) — the
+    # only causal way to know the CURRENT interval's motion, which the
+    # constant-velocity seed gets wrong exactly at turns. 'alternate'
+    # keeps the simpler scheme: re-skew with the 6-DoF registration's
+    # own estimate (= previous-interval motion) deskew_rounds times.
+    deskew_mode: str = "joint"
+    # information of the prior pulling the estimated sweep twist toward
+    # its constant-velocity seed (per mille of the correspondence count;
+    # ops/skew_icp.py) — keeps the pose/twist split well-posed where
+    # scene geometry or u-coverage under-constrains it
+    deskew_prior_weight: float = 1.0
+    # coupled mode: free the SOURCE sweep twist as 6 extra unknowns with
+    # a relative prior toward the solved transform, instead of tying it
+    # by constant velocity — lifts the one modeling assumption left,
+    # which fails at step velocity changes (instant corners). See
+    # ops/skew_icp.coupled_deskew_icp(free_source_twist=...).
+    deskew_free_twist: bool = False
 
     # --- mapping ---
     map_resolution: float = 0.2       # octree_resolution, icpslam.yaml:17

@@ -600,6 +600,31 @@ def main(argv=None) -> int:
         "causal de-skew a KITTI-style OXTS rig performs)",
     )
     ap.add_argument(
+        "--deskew-rounds", type=int, default=None,
+        help="in-loop iterative motion de-skew WITHOUT an INS: N "
+        "alternating re-skew/register rounds per scan inside the "
+        "odometry step (config.deskew_rounds; try 2). Unlike --deskew "
+        "this needs no external motion measurement",
+    )
+    ap.add_argument(
+        "--deskew-mode", choices=["coupled", "joint", "alternate"], default=None,
+        help="in-loop de-skew estimator (with --deskew-rounds): 'coupled' "
+        "(target de-skewed by the solved transform itself), 'joint' "
+        "12-DoF pose+sweep-motion registration, or 'alternate' re-skew/"
+        "register rounds (config.deskew_mode)",
+    )
+    ap.add_argument(
+        "--deskew-prior-weight", type=float, default=None,
+        help="(--deskew-mode coupled/joint) information of the prior "
+        "tying the sweep twist to its seed (config.deskew_prior_weight)",
+    )
+    ap.add_argument(
+        "--deskew-free-twist", action="store_true",
+        help="(--deskew-mode coupled) free the source sweep twist as 6 "
+        "extra unknowns with a relative prior toward the solved "
+        "transform (config.deskew_free_twist)",
+    )
+    ap.add_argument(
         "--adaptive-information", action="store_true",
         help="derive sequential-edge information matrices from the "
         "registration's own GN Hessian instead of the fixed configured "
@@ -791,6 +816,14 @@ def main(argv=None) -> int:
 
     if args.adaptive_information:
         cfg = cfg.replace(adaptive_information=True)
+    if args.deskew_rounds is not None:
+        cfg = cfg.replace(deskew_rounds=args.deskew_rounds)
+    if args.deskew_mode is not None:
+        cfg = cfg.replace(deskew_mode=args.deskew_mode)
+    if args.deskew_free_twist:
+        cfg = cfg.replace(deskew_free_twist=True)
+    if args.deskew_prior_weight is not None:
+        cfg = cfg.replace(deskew_prior_weight=args.deskew_prior_weight)
 
     backend = None
     post_step = None

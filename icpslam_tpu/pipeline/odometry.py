@@ -51,8 +51,14 @@ class OdometryState(NamedTuple):
     initialized: jnp.ndarray   # bool: first cloud stashed
     pose: Pose                 # accumulated odometry pose (odom frame)
     accum: Pose                # relative-transform accumulator (drained by back-end)
-    prev_cloud: pc.PointCloud  # last processed (filtered) cloud
+    prev_cloud: pc.PointCloud  # last processed (filtered) cloud — in
+    #                            deskew_mode='coupled' this is the SKEWED
+    #                            filtered sweep (the next registration
+    #                            de-skews it self-consistently)
     prev_covs: jnp.ndarray     # (6, N) packed GICP covariances of prev_cloud
+    prev_u: jnp.ndarray        # (N,) capture fractions of prev_cloud
+    #                            (used by deskew_mode='coupled'; zeros
+    #                            otherwise)
     last_transform: Pose       # last accepted relative motion (constant-velocity prior)
     skip_count: jnp.ndarray    # int32 remaining clouds to skip
     scan_count: jnp.ndarray    # int32 total scans seen
@@ -89,6 +95,7 @@ def init_state(config: SlamConfig, initial_pose: Pose | None = None) -> Odometry
         prev_covs=jnp.broadcast_to(
             jnp.asarray(cov_ops.EYE6, jnp.float32)[:, None], (6, n)
         ),
+        prev_u=jnp.zeros((n,), jnp.float32),
         last_transform=se3.identity(),
         skip_count=jnp.asarray(0, jnp.int32),
         scan_count=jnp.asarray(0, jnp.int32),
@@ -143,50 +150,41 @@ def odometry_step(
         )
         raw_scan = pc.transform(ext, raw_scan)
 
-    filtered, num_voxels = voxel_downsample(
-        raw_scan, config.voxel_leaf_size, config.max_points
-    )
-    covs = (
-        compute_covariances(filtered, icfg)
-        if plane
-        else state.prev_covs  # unused placeholder keeps pytree shape static
-    )
-
     skip = state.initialized & (state.skip_count > 0)
     do_register = state.initialized & ~skip
 
-    def register(_):
-        # constant-velocity prior: seed ICP with the last accepted motion.
-        # (Improvement over the reference's identity init — lets the gate
-        # hold at larger inter-scan motion; falls back gracefully since a
-        # bad prior just costs iterations.)
-        res = icp_ops.icp(
-            filtered,
-            state.prev_cloud,
-            icfg,
-            init=state.last_transform,
-            source_covs=covs if plane else None,
-            target_covs=state.prev_covs if plane else None,
-            # voxel_downsample outputs are prefix-packed -> the NN kernel
-            # can skip dead-capacity tiles (cost scales with fill)
-            target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
-            want_hessian=config.adaptive_information,
-        )
-        accepted = res.converged & (res.fitness < icfg.fitness_threshold)
-        # icp maps current scan into the previous frame → relative motion
-        transform = Pose(
-            t=jnp.where(accepted, res.pose.t, 0.0),
-            q=jnp.where(accepted, res.pose.q, se3.identity().q),
-        )
-        hess = (
-            res.hessian * accepted.astype(jnp.float32)
-            if config.adaptive_information
-            else jnp.zeros((6, 6), jnp.float32)
-        )
-        return (
-            transform, accepted, res.fitness, res.num_correspondences,
-            res.iterations, hess,
-        )
+    def make_register(filtered, covs, init_pose):
+        def register(_):
+            res = icp_ops.icp(
+                filtered,
+                state.prev_cloud,
+                icfg,
+                init=init_pose,
+                source_covs=covs if plane else None,
+                target_covs=state.prev_covs if plane else None,
+                # voxel_downsample outputs are prefix-packed -> the NN
+                # kernel can skip dead-capacity tiles (cost scales with
+                # fill)
+                target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
+                want_hessian=config.adaptive_information,
+            )
+            accepted = res.converged & (res.fitness < icfg.fitness_threshold)
+            # icp maps current scan into the previous frame → relative motion
+            transform = Pose(
+                t=jnp.where(accepted, res.pose.t, 0.0),
+                q=jnp.where(accepted, res.pose.q, se3.identity().q),
+            )
+            hess = (
+                res.hessian * accepted.astype(jnp.float32)
+                if config.adaptive_information
+                else jnp.zeros((6, 6), jnp.float32)
+            )
+            return (
+                transform, accepted, res.fitness, res.num_correspondences,
+                res.iterations, hess,
+            )
+
+        return register
 
     def no_register(_):
         ident = se3.identity()
@@ -199,9 +197,176 @@ def odometry_step(
             jnp.zeros((6, 6), jnp.float32),
         )
 
-    transform, accepted, fitness, n_corr, iters, hessian = jax.lax.cond(
-        do_register, register, no_register, operand=None
-    )
+    def filter_and_covs(scan):
+        filtered, num_voxels = voxel_downsample(
+            scan, config.voxel_leaf_size, config.max_points
+        )
+        covs = (
+            compute_covariances(filtered, icfg)
+            if plane
+            else state.prev_covs  # unused placeholder keeps pytree shape static
+        )
+        return filtered, num_voxels, covs
+
+    stash_cloud = None  # coupled mode stashes the SKEWED filtered cloud
+    stash_u = None
+    if config.deskew_rounds > 0 and config.deskew_mode == "coupled":
+        # self-consistent de-skew (no INS, DESIGN §14): a continuously
+        # spinning lidar's sweep spans the full inter-scan interval, so
+        # the PREVIOUS scan's smear IS the relative motion this
+        # registration measures — the solver warps the (skewed) target
+        # by the transform being solved (ops/skew_icp.coupled_deskew_icp)
+        # and no constant-velocity estimate of the target's motion ever
+        # enters (the feedback loop that diverges seed-based de-skew
+        # cannot form). The source's own smear (the NEXT interval) is
+        # pre-corrected with the CV seed; its residual error is solved
+        # one step later when it becomes the target.
+        from icpslam_tpu.cloud import deskew as deskew_ops
+        from icpslam_tpu.ops import skew_icp
+
+        filtered_s, num_voxels, covs = filter_and_covs(raw_scan)  # skewed
+        u_f = deskew_ops.sweep_fraction(filtered_s.points)
+
+        def register_coupled(_):
+            res = skew_icp.coupled_deskew_icp(
+                filtered_s,
+                state.prev_cloud,
+                state.prev_u,
+                icfg,
+                source_u=u_f,
+                init=state.last_transform,
+                source_covs=covs if plane else None,
+                target_covs=state.prev_covs if plane else None,
+                free_source_twist=config.deskew_free_twist,
+                source_twist_prior_weight=config.deskew_prior_weight,
+            )
+            accepted = res.converged & (res.fitness < icfg.fitness_threshold)
+            transform = Pose(
+                t=jnp.where(accepted, res.pose.t, 0.0),
+                q=jnp.where(accepted, res.pose.q, se3.identity().q),
+            )
+            twist = jnp.where(
+                accepted, res.skew_twist, se3.se3_log(state.last_transform)
+            )
+            return (
+                transform, accepted, res.fitness, res.num_correspondences,
+                res.iterations, jnp.zeros((6, 6), jnp.float32), twist,
+            )
+
+        def no_register_coupled(_):
+            return no_register(None) + (se3.se3_log(state.last_transform),)
+
+        (transform, accepted, fitness, n_corr, iters, hessian,
+         src_twist) = jax.lax.cond(
+            do_register, register_coupled, no_register_coupled, operand=None
+        )
+        # mapping consumes the current scan de-skewed with the freshest
+        # causal estimate of ITS interval: the solver's source-twist
+        # estimate (free mode) — which equals the measured transform
+        # under the CV tie
+        map_pts = deskew_ops.deskew_points(
+            filtered_s.points, u_f, se3.se3_exp(src_twist)
+        )
+        filtered = pc.PointCloud(
+            points=jnp.where(filtered_s.mask[:, None], map_pts, 0.0),
+            mask=filtered_s.mask,
+        )
+        stash_cloud, stash_u = filtered_s, u_f
+    elif config.deskew_rounds > 0 and config.deskew_mode == "joint":
+        # joint 12-DoF skew-aware registration (no INS, DESIGN §14): the
+        # smeared sweep is registered AS smeared, with per-point capture
+        # fractions, and the solver separates the inter-scan pose from
+        # the current sweep's own motion via the u-correlated residual
+        # structure (ops/skew_icp.py). The de-skewed cloud handed to
+        # mapping (and stashed as prev) uses the estimated twist.
+        from icpslam_tpu.cloud import deskew as deskew_ops
+        from icpslam_tpu.ops import skew_icp
+
+        # exact capture fractions from RAW azimuth (the sensor reports
+        # ray angles, so the skewed cloud's azimuth IS capture azimuth)
+        u_raw = deskew_ops.sweep_fraction(raw_scan.points)
+        # register the SKEWED filtered cloud — its azimuths are still
+        # capture azimuths, so per-point u stays exact after filtering
+        filtered_s, _, covs_s = filter_and_covs(raw_scan)
+        u_f = deskew_ops.sweep_fraction(filtered_s.points)
+        cv_seed = se3.se3_log(state.last_transform)
+
+        def register_joint(_):
+            res = skew_icp.skew_aware_icp(
+                filtered_s,
+                state.prev_cloud,
+                icfg,
+                sweep_u=u_f,
+                init=state.last_transform,
+                init_skew=cv_seed,
+                source_covs=covs_s if plane else None,
+                target_covs=state.prev_covs if plane else None,
+                target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
+                skew_prior_weight=config.deskew_prior_weight,
+            )
+            accepted = res.converged & (res.fitness < icfg.fitness_threshold)
+            transform = Pose(
+                t=jnp.where(accepted, res.pose.t, 0.0),
+                q=jnp.where(accepted, res.pose.q, se3.identity().q),
+            )
+            twist = jnp.where(accepted, res.skew_twist, cv_seed)
+            return (
+                transform, accepted, res.fitness, res.num_correspondences,
+                res.iterations, jnp.zeros((6, 6), jnp.float32), twist,
+            )
+
+        def no_register_joint(_):
+            return no_register(None) + (cv_seed,)
+
+        (transform, accepted, fitness, n_corr, iters, hessian,
+         skew_twist) = jax.lax.cond(
+            do_register, register_joint, no_register_joint, operand=None
+        )
+        # mapping + prev stash consume the de-skewed cloud
+        pts_d = deskew_ops.deskew_points(
+            raw_scan.points, u_raw, se3.se3_exp(skew_twist)
+        )
+        scan_d = pc.PointCloud(
+            points=jnp.where(raw_scan.mask[:, None], pts_d, 0.0),
+            mask=raw_scan.mask,
+        )
+        filtered, num_voxels, covs = filter_and_covs(scan_d)
+    elif config.deskew_rounds > 0:
+        # in-loop iterative de-skew, alternating variant (DESIGN §14):
+        # re-skew ↔ register, seeded by constant velocity. Each round
+        # undoes the sweep smear with the CURRENT motion estimate and
+        # re-registers against the previous (clean) cloud; the constant-
+        # velocity feedback error that diverges open-loop (DESIGN §13's
+        # negative result) is re-anchored here by registration within
+        # the same scan. Rounds are a static unroll. Estimates only the
+        # PREVIOUS interval's motion — 'joint' lifts that limit.
+        from icpslam_tpu.cloud import deskew as deskew_ops
+
+        u_raw = deskew_ops.sweep_fraction(raw_scan.points)
+        rel = state.last_transform
+        for _round in range(config.deskew_rounds):
+            pts_k = deskew_ops.deskew_points(raw_scan.points, u_raw, rel)
+            scan_k = pc.PointCloud(
+                points=jnp.where(raw_scan.mask[:, None], pts_k, 0.0),
+                mask=raw_scan.mask,
+            )
+            filtered, num_voxels, covs = filter_and_covs(scan_k)
+            transform, accepted, fitness, n_corr, iters, hessian = jax.lax.cond(
+                do_register, make_register(filtered, covs, rel), no_register,
+                operand=None,
+            )
+            rel = Pose(
+                t=jnp.where(accepted, transform.t, rel.t),
+                q=jnp.where(accepted, transform.q, rel.q),
+            )
+    else:
+        filtered, num_voxels, covs = filter_and_covs(raw_scan)
+        transform, accepted, fitness, n_corr, iters, hessian = jax.lax.cond(
+            do_register,
+            make_register(filtered, covs, state.last_transform),
+            no_register,
+            operand=None,
+        )
 
     new_pose = se3.normalize(se3.compose(state.pose, transform))
     new_accum = se3.normalize(se3.compose(state.accum, transform))
@@ -214,8 +379,13 @@ def odometry_step(
     sel = lambda new, old: jax.tree_util.tree_map(
         lambda a, b: jnp.where(take_cloud, a, b), new, old
     )
-    new_prev_cloud = sel(filtered, state.prev_cloud)
+    new_prev_cloud = sel(stash_cloud if stash_cloud is not None else filtered,
+                         state.prev_cloud)
     new_prev_covs = jnp.where(take_cloud, covs, state.prev_covs) if plane else state.prev_covs
+    new_prev_u = (
+        jnp.where(take_cloud, stash_u, state.prev_u)
+        if stash_u is not None else state.prev_u
+    )
 
     new_skip = jnp.where(
         skip,
@@ -233,6 +403,7 @@ def odometry_step(
         accum=new_accum,
         prev_cloud=new_prev_cloud,
         prev_covs=new_prev_covs,
+        prev_u=new_prev_u,
         last_transform=new_last,
         skip_count=new_skip,
         scan_count=state.scan_count + 1,

@@ -55,9 +55,18 @@ def drive(cfg, scans, gt, mesh=None):
     )
     st = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
     poses = []
-    for s in scans:
+    for i, s in enumerate(scans):
         st, out = step(st, s, cfg)
         poses.append(out.pose_map)
+        # Bound the in-flight queue of multi-device programs: XLA:CPU's
+        # in-process collectives rendezvous over a shared thread pool,
+        # and a deep async queue of 8-device shard_map steps can starve
+        # it (3/8 participants arrive → 40 s timeout → SIGABRT; see
+        # tools/xla_cpu_collective_deadlock_repro.py). ~16 in flight is
+        # reliably safe on this host; real TPU meshes don't rendezvous
+        # through a thread pool and need no such bound.
+        if i % 8 == 7:
+            jax.block_until_ready(st)
     return st, se3.stack(poses)
 
 
@@ -235,3 +244,59 @@ class TestDistributedStreamingSolve:
             assert False, "expected ValueError without a mesh"
         except ValueError as e:
             assert "mesh" in str(e)
+
+
+class TestShardedPressure:
+    """Streaming sharded pipeline at capacity pressure (VERDICT r3 weak
+    #4/item 6): a long run with per-shard capacities small enough to
+    overflow must keep tracking, count every dropped voxel, and degrade
+    like the single-device backend (reference contract
+    ``octree_mapper.cpp:63-70`` — except the reference grows unbounded;
+    we bound with counted overflow)."""
+
+    def test_overflow_counted_and_tracking_survives(self):
+        mesh = mesh_lib.make_mesh(8)
+        # 8 shards x 512 voxels (per-shard capacity = max_map_points;
+        # total scales with devices); resets disabled so the map
+        # actually fills (the optimize-reset normally bounds it)
+        cfg_s = make_cfg(
+            "sharded", shards=8, max_map_points=512,
+            reset_map_on_optimize=False, enable_loop_closure=True,
+        )
+        scans, gt = make_stream(cfg_s, n_poses=60, laps=2.5)
+        st_s, traj_s = drive(cfg_s, scans, gt, mesh=mesh)
+
+        sizes = np.asarray(st_s.map.size)          # (8,)
+        overflow = np.asarray(st_s.map.overflow)   # (8,)
+        assert sizes.sum() > 0
+        # pressure actually happened: at least one shard hit capacity and
+        # dropped voxels into its counter
+        cap = st_s.map.keys.shape[1]
+        assert (sizes == cap).any(), sizes
+        assert overflow.sum() > 0, overflow
+        # tracking survived: finite poses, bounded error over 2.5 laps
+        assert bool(jnp.all(jnp.isfinite(traj_s.t)))
+        err = np.linalg.norm(
+            np.asarray(traj_s.t) - np.asarray(gt.t)[: traj_s.t.shape[0]],
+            axis=-1,
+        )
+        assert err.max() < 1.0, err.max()
+
+        # single-device voxel backend at the SAME total capacity: same
+        # graceful-degradation contract (overflow counted, tracking holds)
+        cfg_v = make_cfg(
+            "voxel", max_map_points=4096,
+            reset_map_on_optimize=False, enable_loop_closure=True,
+        )
+        st_v, traj_v = drive(cfg_v, scans, gt)
+        assert int(st_v.map.overflow) > 0
+        err_v = np.linalg.norm(
+            np.asarray(traj_v.t) - np.asarray(gt.t)[: traj_v.t.shape[0]],
+            axis=-1,
+        )
+        assert err_v.max() < 1.0, err_v.max()
+        # sharded capacity is per shard: the shard owning the densest
+        # region saturates first, so the sharded map never holds MORE
+        # than shards x per-shard cap and overflow totals are of the
+        # same order as the single-device drop count
+        assert sizes.sum() <= 8 * cap

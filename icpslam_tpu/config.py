@@ -113,8 +113,12 @@ class SlamConfig:
     # information of the prior pulling the estimated sweep twist toward
     # its constant-velocity seed (per mille of the correspondence count;
     # ops/skew_icp.py) — keeps the pose/twist split well-posed where
-    # scene geometry or u-coverage under-constrains it
-    deskew_prior_weight: float = 1.0
+    # scene geometry or u-coverage under-constrains it. 100 is the
+    # measured optimum for free-twist mode on the 500-pose physics proxy
+    # (w=1: 5.6 m ATE, 8: 0.69, 20: 0.57, 50: 0.38, 100: 0.33, 200:
+    # 0.34 — the azimuth-correlated pose/twist split needs a stiff
+    # anchor everywhere except where the data truly demands a split)
+    deskew_prior_weight: float = 100.0
     # coupled mode: free the SOURCE sweep twist as 6 extra unknowns with
     # a relative prior toward the solved transform, instead of tying it
     # by constant velocity — lifts the one modeling assumption left,

@@ -32,6 +32,29 @@ from icpslam_tpu.geometry import se3
 from icpslam_tpu.geometry.se3 import Pose
 from icpslam_tpu.graph import pose_graph as pg
 
+# Timing-ablation knob (parallel/scaling.py): True replaces every
+# collective with a shape-preserving LOCAL op at trace time — same
+# per-device FLOPs, zero communication — so a rung timed once normally
+# and once ablated splits into {compute_ms, collective_ms}. Numerically
+# wrong by construction; never enable outside the scaling harness.
+ABLATE_COLLECTIVES = False
+
+
+def _psum(x, axis):
+    return x if ABLATE_COLLECTIVES else jax.lax.psum(x, axis)
+
+
+def _check_vma() -> bool:
+    # ablated outputs are NOT actually replicated — tell shard_map not to
+    # statically require it (timing-only mode, results are discarded)
+    return not ABLATE_COLLECTIVES
+
+
+def _all_gather_tiled(x, axis, n_devices: int):
+    if ABLATE_COLLECTIVES:
+        return jnp.concatenate([x] * n_devices, axis=0)
+    return jax.lax.all_gather(x, axis, tiled=True)
+
 
 def _shardable_edges(edges: pg.EdgeSet, n_shards: int) -> pg.EdgeSet:
     """Pad edge arrays so the capacity divides the shard count (padding
@@ -72,6 +95,7 @@ def sharded_edge_contributions(
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),  # edge arrays
         ),
         out_specs=(P(), P()),
+        check_vma=_check_vma(),
     )
     def assemble(nt, nq, ei, ej, ert, erq, einfo, evalid):
         local = pg.EdgeSet(
@@ -80,7 +104,7 @@ def sharded_edge_contributions(
             overflow=jnp.asarray(0, jnp.int32),
         )
         H, b = pg.edge_contributions(Pose(t=nt, q=nq), local)
-        return jax.lax.psum(H, axis), jax.lax.psum(b, axis)
+        return _psum(H, axis), _psum(b, axis)
 
     return assemble(
         nodes.t, nodes.q, ep.i, ep.j, ep.rel_t, ep.rel_q, ep.info, ep.valid
@@ -118,6 +142,7 @@ def _sharded_pcg_step(
             P(), P(),
         ),
         out_specs=P(),
+        check_vma=_check_vma(),
     )
     def step(nt, nq, ei, ej, ert, erq, einfo, evalid, nmask, lam):
         local = pg.EdgeSet(
@@ -128,9 +153,9 @@ def _sharded_pcg_step(
         nds = Pose(t=nt, q=nq)
         r, Ji, Jj, info = pg._edge_linearization(nds, local)
 
-        b = jax.lax.psum(pg._edge_gradient(r, Ji, Jj, info, ei, ej, K), axis)
+        b = _psum(pg._edge_gradient(r, Ji, Jj, info, ei, ej, K), axis)
         b = b * nmask[:, None]
-        D = jax.lax.psum(pg._edge_diag_blocks(Ji, Jj, info, ei, ej, K), axis)
+        D = _psum(pg._edge_diag_blocks(Ji, Jj, info, ei, ej, K), axis)
         D = pg._regularize_diag(D, nmask, anchor_weight)
         scale = jnp.einsum("kaa->k", D) / 6.0
         damping_diag = (lam * jnp.maximum(scale, 1e-6))[:, None]
@@ -138,7 +163,7 @@ def _sharded_pcg_step(
         Dinv = jnp.linalg.inv(D + damping_diag[..., None] * eye6 + 1e-9 * eye6)
 
         def apply_fn(x):
-            y = jax.lax.psum(pg._apply_H_edges(Ji, Jj, info, ei, ej, x), axis)
+            y = _psum(pg._apply_H_edges(Ji, Jj, info, ei, ej, x), axis)
             return pg._regularize_apply(y, x, nmask, anchor_weight, damping_diag)
 
         delta, _ = pg.pcg_solve(apply_fn, Dinv, -b, iterations=cg_iterations)
@@ -206,13 +231,14 @@ def _sharded_schur_delta(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
         out_specs=P(axis),
+        check_vma=_check_vma(),
     )
     def solve(A_l, b_l, e_l, R_cross, sep_chunk, sep_within, sep_idx):
         # local interior elimination: (Dl, n, n) chunks on this device
         Sc, bs, Minv, A_es = jax.vmap(schur_mod.chunk_eliminate)(A_l, b_l, e_l)
         # one gather of the (small) per-chunk Schur contributions
-        Sc_all = jax.lax.all_gather(Sc, axis, tiled=True)    # (D, n, n)
-        bs_all = jax.lax.all_gather(bs, axis, tiled=True)    # (D, n)
+        Sc_all = _all_gather_tiled(Sc, axis, D)              # (D, n, n)
+        bs_all = _all_gather_tiled(bs, axis, D)              # (D, n)
 
         # replicated separator system: blockdiag(Sc) restricted to the
         # keep-set + cross couplings

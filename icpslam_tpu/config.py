@@ -270,6 +270,18 @@ class SlamConfig:
     max_keyframes: int = 512
     max_edges: int = 2048
 
+    # --- visualization markers (icpslam.yaml:27-31) — consumed by the
+    # HTML viewer (viz/html.py): node point size / edge line width scale
+    # with the reference's marker scales, and explicitly configured
+    # colors override the viewer defaults (the id-proportional ramp
+    # stays when the colors are left at the reference defaults — it is
+    # the richer rendering of the same intent, icpslam.cpp:260-275).
+    marker_scale_nodes: float = 0.1           # icpslam.yaml:27
+    marker_scale_edges: float = 0.05          # icpslam.yaml:28
+    icp_nodes_markers_color: Tuple[float, ...] = (0.0, 1.0, 0.0, 1.0)
+    odom_nodes_markers_color: Tuple[float, ...] = (0.0, 0.5, 0.5, 1.0)
+    edges_markers_color: Tuple[float, ...] = (0.0, 0.0, 1.0, 1.0)
+
     # --- behavior toggles ---
     publish_map_transform: bool = True  # icpslam.yaml:24
     reset_map_on_optimize: bool = True  # icpslam.cpp:170 contract
@@ -304,14 +316,10 @@ _REFERENCE_KEY_ALIASES = {
     "wheel_odom_information_matrix": "odometry_information",
     "loop_information_matrix": "loop_information",
 }
-# reference keys consumed by rviz styling / unused frames — accepted and
-# ignored (viz styling lives in viz/, the world frame is never referenced
-# by the reference's own code either)
-_REFERENCE_IGNORED_KEYS = {
-    "world_frame", "marker_scale_nodes", "marker_scale_edges",
-    "icp_nodes_markers_color", "odom_nodes_markers_color",
-    "edges_markers_color",
-}
+# unused frame key — accepted and ignored (the world frame is never
+# referenced by the reference's own code either). The marker-styling
+# keys are REAL config since r4 (viz/html.py honors them).
+_REFERENCE_IGNORED_KEYS = {"world_frame"}
 
 
 def from_dict(data: dict, **overrides) -> SlamConfig:

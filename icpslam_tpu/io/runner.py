@@ -737,6 +737,11 @@ def main(argv=None) -> int:
                     f"scan cache {cache} was rendered with different "
                     "physics flags; re-rendering"
                 )
+        if args.start and cached is None:
+            raise SystemExit(
+                "--start with --kitti-proxy requires --scan-cache (the "
+                "resume path replays a prefix-consistent rendered stream)"
+            )
         if cached is not None:
             # re-use previously rendered scans (rendering 500 64-beam
             # scans costs ~3 min of host time; the pipeline does not)
@@ -746,16 +751,18 @@ def main(argv=None) -> int:
                     f"scan cache holds only {n} scans; running {n}, "
                     f"not the requested {args.poses}"
                 )
+            lo = min(args.start or 0, n)
             gt = Pose(
-                t=jnp.asarray(cached["gt_t"][:n]), q=jnp.asarray(cached["gt_q"][:n])
+                t=jnp.asarray(cached["gt_t"][lo:n]),
+                q=jnp.asarray(cached["gt_q"][lo:n]),
             )
             data = cached
             scans = (
                 (pc.from_points(data[f"s{i}"], capacity=cfg.max_raw_points),
                  i / args.rate)
-                for i in range(n)
+                for i in range(lo, n)
             )
-            log.info(f"loaded {n} cached proxy scans from {cache}")
+            log.info(f"loaded cached proxy scans [{lo}, {n}) from {cache}")
         else:
             world = synthetic.make_urban_world(seed=0)
             gt = synthetic.make_urban_drive(n_poses=args.poses, rate_hz=args.rate)
@@ -869,6 +876,7 @@ def main(argv=None) -> int:
             viz_html_live.export_state_html(
                 args.html, st, trajectory=traj,
                 title=f"icpslam_tpu — live (scan {i + 1})",
+                config=cfg,
             )
             log.info(f"scan {i + 1}: refreshed live viewer {args.html}")
     if args.trace:
@@ -950,6 +958,7 @@ def main(argv=None) -> int:
             args.html,
             res.state,
             trajectory=res.trajectory,
+            config=cfg,
             ground_truth=gt if (gt is not None and gt.t.shape[0] == n) else None,
             title="icpslam_tpu — " + (
                 "synthetic" if args.synthetic

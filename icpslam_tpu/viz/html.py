@@ -94,18 +94,62 @@ def line_layer(
     }
 
 
-def graph_layers(state) -> list:
+_REF_NODE_COLOR = (0.0, 1.0, 0.0, 1.0)     # icpslam.yaml:29 defaults —
+_REF_ODOM_COLOR = (0.0, 0.5, 0.5, 1.0)     # when the user leaves these,
+_REF_EDGE_COLOR = (0.0, 0.0, 1.0, 1.0)     # the viewer's richer styling
+#                                            (id ramp) stays in effect
+
+
+def graph_layers(state, config=None) -> list:
     """Pose-graph layers from a SlamState: ramped nodes + sequential/loop
-    edge segments (reference marker semantics, ``icpslam.cpp:191-280``)."""
+    edge segments (reference marker semantics, ``icpslam.cpp:191-280``).
+
+    ``config`` (a ``SlamConfig``) applies the reference's marker-styling
+    keys (``icpslam.yaml:27-31``): node size / edge width scale with
+    ``marker_scale_nodes`` / ``marker_scale_edges``, and any color set
+    away from the reference defaults replaces the viewer's own (the
+    id-proportional ramp stands in for the default node color — it is
+    the ramp the reference's marker code builds, ``icpslam.cpp:260-275``).
+    ``odom_nodes_markers_color`` adds the odometry-frame node layer the
+    reference publishes alongside the graph nodes."""
     store = state.keyframes
     n = int(store.count)
     layers = []
     if n == 0:
         return layers
+    node_size = 8.0
+    edge_width = 1.0
+    node_colors = None
+    node_flat = None
+    seq_color = (0.55, 0.55, 0.6)
+    odom_color = None
+    if config is not None:
+        node_size = 8.0 * float(config.marker_scale_nodes) / 0.1
+        edge_width = max(1.0, float(config.marker_scale_edges) / 0.05)
+        if tuple(config.icp_nodes_markers_color) != _REF_NODE_COLOR:
+            node_flat = tuple(config.icp_nodes_markers_color)[:3]
+        if tuple(config.edges_markers_color) != _REF_EDGE_COLOR:
+            seq_color = tuple(config.edges_markers_color)[:3]
+        if tuple(config.odom_nodes_markers_color) != _REF_ODOM_COLOR:
+            odom_color = tuple(config.odom_nodes_markers_color)[:3]
     t = np.asarray(store.pose_graph.t)[:n]
-    layers.append(
-        points_layer("graph nodes", t, colors=_ramp_colors(n), point_size=8.0)
-    )
+    if node_flat is not None:
+        layers.append(
+            points_layer("graph nodes", t, color=node_flat,
+                         color_mode="flat", point_size=node_size)
+        )
+    else:
+        node_colors = _ramp_colors(n)
+        layers.append(
+            points_layer("graph nodes", t, colors=node_colors,
+                         point_size=node_size)
+        )
+    if odom_color is not None:
+        t_odom = np.asarray(store.pose_odom.t)[:n]
+        layers.append(
+            points_layer("odom nodes", t_odom, color=odom_color,
+                         color_mode="flat", point_size=node_size * 0.75)
+        )
     ecount = int(state.edges.count)
     if ecount:
         ei = np.asarray(state.edges.i)[:ecount]
@@ -119,15 +163,15 @@ def graph_layers(state) -> list:
             # the reference's loop-edge heuristic |id1-id2| > 2 (:263)
             (loop if abs(int(ej[k]) - int(ei[k])) > 2 else seq).extend(seg)
         if seq:
-            layers.append(
-                line_layer("sequential edges", np.asarray(seq), strip=False,
-                           color=(0.55, 0.55, 0.6))
-            )
+            lay = line_layer("sequential edges", np.asarray(seq), strip=False,
+                             color=seq_color)
+            lay["width"] = edge_width
+            layers.append(lay)
         if loop:
-            layers.append(
-                line_layer("loop edges", np.asarray(loop), strip=False,
-                           color=(1.0, 0.25, 0.25))
-            )
+            lay = line_layer("loop edges", np.asarray(loop), strip=False,
+                             color=(1.0, 0.25, 0.25))
+            lay["width"] = edge_width
+            layers.append(lay)
     return layers
 
 
@@ -154,6 +198,7 @@ def export_state_html(
     ground_truth: Optional[Pose] = None,
     title: str = "icpslam_tpu",
     max_map_points: int = 500_000,
+    config=None,
 ) -> str:
     """One-call export of a finished run: map + trajectories + pose graph."""
     layers = []
@@ -177,7 +222,7 @@ def export_state_html(
         layers.append(
             line_layer("ground truth", np.asarray(ground_truth.t), color=(0.3, 1.0, 0.4))
         )
-    layers.extend(graph_layers(state))
+    layers.extend(graph_layers(state, config=config))
     stats = {
         "keyframes": int(state.keyframes.count),
         "map points": int(np.sum(np.asarray(state.map.size))),
@@ -306,6 +351,7 @@ function draw(){
       gl.uniform3fv(loc.flat_c,L.color);}
     gl.uniform1f(loc.ps,(L.pointSize||2)*devicePixelRatio);
     gl.uniform1i(loc.round_pt,L.kind==="points"&&(L.pointSize||2)>4?1:0);
+    if(L.kind!=="points"){gl.lineWidth(L.width||1);}
     gl.drawArrays(L.kind==="points"?gl.POINTS:
       L.kind==="lines"?gl.LINES:gl.LINE_STRIP,0,L.n);
   }

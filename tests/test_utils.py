@@ -210,3 +210,63 @@ class TestLogger:
         buf2 = io.StringIO()
         Logger(level=0, stream=buf2).warn("silent")
         assert buf2.getvalue() == ""
+
+
+class TestMarkerStyling:
+    """The reference's marker-styling yaml keys (icpslam.yaml:27-31) are
+    real config since r4: honored by the HTML viewer's layers."""
+
+    def _state_with_graph(self, cfg):
+        import jax.numpy as jnp
+
+        from icpslam_tpu.geometry import se3
+        from icpslam_tpu.graph import pose_graph as pg
+        from icpslam_tpu.pipeline import slam
+
+        st = slam.init_state(cfg)
+        store = st.keyframes
+        t = jnp.zeros((store.capacity, 3)).at[:4, 0].set(jnp.arange(4.0))
+        store = store._replace(
+            pose_graph=store.pose_graph._replace(t=t),
+            pose_odom=store.pose_odom._replace(t=t + 0.1),
+            count=jnp.asarray(4, jnp.int32),
+        )
+        edges = st.edges
+        for k in range(3):
+            edges = pg.add_edge(edges, k, k + 1, se3.identity(), jnp.eye(6))
+        return st._replace(keyframes=store, edges=edges)
+
+    def test_configured_styles_reach_layers(self):
+        from icpslam_tpu import config as cfg_mod
+        from icpslam_tpu.viz import html as viz_html
+
+        c = cfg_mod.tiny_config(
+            marker_scale_nodes=0.2, marker_scale_edges=0.15,
+            icp_nodes_markers_color=(1.0, 0.0, 1.0, 1.0),
+            odom_nodes_markers_color=(1.0, 0.5, 0.0, 1.0),
+            edges_markers_color=(0.1, 0.9, 0.1, 1.0),
+        )
+        layers = {L["name"]: L for L in viz_html.graph_layers(
+            self._state_with_graph(c), config=c)}
+        assert layers["graph nodes"]["pointSize"] == 16.0  # 0.2/0.1 * 8
+        assert layers["graph nodes"]["color"] == [1.0, 0.0, 1.0]
+        assert "odom nodes" in layers  # reference's second node set
+        assert layers["sequential edges"]["color"] == [0.1, 0.9, 0.1]
+        assert layers["sequential edges"]["width"] > 1.0
+
+    def test_reference_defaults_keep_ramp(self):
+        from icpslam_tpu import config as cfg_mod
+        from icpslam_tpu.viz import html as viz_html
+
+        c = cfg_mod.tiny_config()
+        layers = {L["name"]: L for L in viz_html.graph_layers(
+            self._state_with_graph(c), config=c)}
+        assert layers["graph nodes"]["colorMode"] == "rgb"  # id ramp
+        assert "odom nodes" not in layers
+
+    def test_reference_yaml_marker_keys_load(self):
+        from icpslam_tpu import config as cfg_mod
+
+        ref = cfg_mod.from_yaml("/root/reference/config/icpslam.yaml")
+        assert ref.marker_scale_nodes == 0.1
+        assert tuple(ref.edges_markers_color) == (0.0, 0.0, 1.0, 1.0)

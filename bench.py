@@ -534,7 +534,9 @@ def main() -> int:
         result["late_mission_scans_per_sec"] = {
             "inline_solve": round(inline_sps, 3),
             "pipelined_solve": round(def_sps, 3),
-            "note": "~472 live keyframes, full-size solve every window",
+            "note": "~472 live keyframes; incremental back-end solves "
+            "the trailing graph_window between loop closures "
+            "(graph_incremental default, r4)",
         }
 
     if args.suite:

@@ -102,14 +102,15 @@ class SlamConfig:
     # the reference has no de-skew at all. The INS-measured alternative
     # stays at ingest (runner --deskew). 2 rounds suffice (DESIGN §14).
     deskew_rounds: int = 0
-    # 'joint' (default): ONE 12-DoF registration jointly estimates the
-    # inter-scan pose AND the current sweep's intra-scan motion from the
-    # capture-time-correlated residual structure (ops/skew_icp.py) — the
-    # only causal way to know the CURRENT interval's motion, which the
-    # constant-velocity seed gets wrong exactly at turns. 'alternate'
-    # keeps the simpler scheme: re-skew with the 6-DoF registration's
-    # own estimate (= previous-interval motion) deskew_rounds times.
-    deskew_mode: str = "joint"
+    # 'coupled' (default, DESIGN §14): register the raw smeared sweeps
+    # directly — the previous sweep is warped by the very transform
+    # being solved (its smear IS the measured inter-scan motion) and the
+    # current sweep by the same transform under one-step constant
+    # velocity (ops/skew_icp.coupled_deskew_icp; optionally freed via
+    # deskew_free_twist below). 'joint' (12-DoF free sweep twist with a
+    # CV prior) and 'alternate' (re-skew ↔ re-register rounds) are the
+    # measured-inferior attempts, kept for comparison (DESIGN §14 table).
+    deskew_mode: str = "coupled"
     # information of the prior pulling the estimated sweep twist toward
     # its constant-velocity seed (per mille of the correspondence count;
     # ops/skew_icp.py) — keeps the pose/twist split well-posed where

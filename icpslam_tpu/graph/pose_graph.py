@@ -580,7 +580,9 @@ def optimize_window(
     W = min(window, nodes.t.shape[0])
     start = jnp.maximum(node_count - W, 0).astype(jnp.int32)
     local_ids = start + jnp.arange(W, dtype=jnp.int32)
-    local_mask = local_ids < node_count
+    local_mask = (local_ids < node_count) & jax.lax.dynamic_slice_in_dim(
+        node_mask, start, W, axis=0
+    )
     aw = jnp.where(start == 0, anchor_weight, 0.0).astype(nodes.t.dtype)
     c0 = graph_cost(nodes, edges)
 

@@ -70,11 +70,19 @@ def directory_stream(
         use_native = native_loader.available()
     seen: Dict[str, None] = {}  # insertion-ordered; pruned at _SEEN_LIMIT
     sizes: Dict[str, int] = {}  # last observed size of not-yet-stable files
-    # Highest consumed parseable filename stamp. Any not-in-``seen``
-    # ``.bin`` whose name parses to a stamp <= this is already consumed
-    # (or violates the in-order contract) and is never re-yielded — so
-    # evicting its name from ``seen`` can't re-ingest it as a duplicate.
+    # Highest consumed parseable filename stamp. Once eviction has begun,
+    # a not-in-``seen`` ``.bin`` whose stamp is <= this is ambiguous —
+    # either already consumed (name evicted) or an out-of-order late
+    # arrival — and is skipped WITH a warning + counter (losses are
+    # counted, never silent). Before any eviction, ``seen`` is complete,
+    # so a new name below the watermark is provably a late arrival and
+    # is ingested out of order instead.
     watermark = float("-inf")
+    n_evicted = 0
+    n_stale_skipped = 0
+    from icpslam_tpu.utils.logging import Logger
+
+    log = Logger(level=1)
 
     def _name_stamp(name: str) -> Optional[float]:
         try:
@@ -93,8 +101,21 @@ def directory_stream(
                         stop = True
                     elif e.name.endswith(".bin") and e.name not in seen:
                         s = _name_stamp(e.name)
-                        if s is not None and s <= watermark:
-                            continue  # consumed before its name was evicted
+                        if s is not None and s <= watermark and n_evicted:
+                            # ambiguous: consumed-then-evicted OR a late
+                            # out-of-order arrival — skipped, but never
+                            # silently (see watermark comment above)
+                            if e.name not in sizes:
+                                n_stale_skipped += 1
+                                log.warn(
+                                    f"live ingest: skipping {e.name} "
+                                    f"(stamp <= consumed watermark "
+                                    f"{watermark:.6f} after bookkeeping "
+                                    f"eviction; {n_stale_skipped} skipped "
+                                    "so far)"
+                                )
+                                sizes[e.name] = -1  # warn once per file
+                            continue
                         candidates.append(e)
         except FileNotFoundError:
             pass
@@ -133,6 +154,7 @@ def directory_stream(
                     so = _name_stamp(old)
                     if so is not None and so <= watermark:
                         del seen[old]
+                        n_evicted += 1
             full = os.path.join(path, f)
             if use_native:
                 cloud = native_loader.read_scan(

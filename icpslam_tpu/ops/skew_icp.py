@@ -62,8 +62,10 @@ def coupled_deskew_icp(
     source_covs: Optional[jnp.ndarray] = None,
     target_covs: Optional[jnp.ndarray] = None,
     nn_block: int = 1024,
+    target_valid_len: Optional[jnp.ndarray] = None,
     free_source_twist: bool = False,
     source_twist_prior_weight: float = 1.0,
+    want_hessian: bool = False,
 ):
     """6-DoF registration that de-skews BOTH sweeps with the very
     transform being solved.
@@ -108,6 +110,11 @@ def coupled_deskew_icp(
     plane = config.mode == "plane"
     if plane and (source_covs is None or target_covs is None):
         raise ValueError("plane mode requires source_covs and target_covs")
+    if free_source_twist and source_u is None:
+        raise ValueError(
+            "free_source_twist requires source_u — a clean source has no "
+            "sweep twist to estimate"
+        )
 
     pts = source.points
     N = pts.shape[0]
@@ -123,6 +130,8 @@ def coupled_deskew_icp(
         delta: jnp.ndarray
         d2: jnp.ndarray
         corr: jnp.ndarray
+        H6: jnp.ndarray       # (6, 6) pose block of the data GN Hessian
+        #                       (edge-information source, ops/icp.py parity)
 
     ndof = 12 if free_source_twist else 6
     prior_w = jnp.asarray(
@@ -152,7 +161,8 @@ def coupled_deskew_icp(
         P = p_warp @ R.T + c.pose.t[None, :]   # (N, 3) in target-start frame
         q_warp = warp_exact(q_pts, v_all, c.pose)
         res = nn_ops.nearest_neighbors(
-            P, q_warp, target.mask, block=nn_block, prune_beyond=float(max_d2),
+            P, q_warp, target.mask, block=nn_block,
+            valid_len=target_valid_len, prune_beyond=float(max_d2),
         )
         idx = res.idx
         matched = jnp.isfinite(res.dist2)
@@ -205,6 +215,7 @@ def coupled_deskew_icp(
         WJ = jnp.einsum("nab,nbk->nak", W, J)
         H = jnp.einsum("nak,nal,n->kl", J, WJ, w)
         g = jnp.einsum("nak,na,n->k", WJ, r, w)
+        H6 = H[:6, :6]  # data-only pose information (before priors)
         if free_source_twist:
             # relative prior M_src → log(rel): residual (M − m), Jacobian
             # [−I | I] over (δrel, δM) — couples the two blocks so the
@@ -230,7 +241,7 @@ def coupled_deskew_icp(
         new_M = c.M + delta[6:] if free_source_twist else c.M
         return Carry(
             pose=new_pose, M=new_M, it=c.it + 1,
-            delta=jnp.linalg.norm(delta), d2=d2, corr=corr,
+            delta=jnp.linalg.norm(delta), d2=d2, corr=corr, H6=H6,
         )
 
     def cond(c: Carry):
@@ -245,6 +256,7 @@ def coupled_deskew_icp(
         delta=jnp.asarray(jnp.inf, pts.dtype),
         d2=jnp.full((N,), jnp.inf, pts.dtype),
         corr=jnp.zeros((N,), bool),
+        H6=jnp.zeros((6, 6), pts.dtype),
     )
     final = jax.lax.while_loop(cond, step, c0)
 
@@ -275,6 +287,10 @@ def coupled_deskew_icp(
         converged=converged,
         num_correspondences=n_corr,
         iterations=final.it,
+        hessian=(
+            jnp.where(jnp.all(jnp.isfinite(final.H6)), final.H6, 0.0)
+            if want_hessian else None
+        ),
     )
 
 
@@ -285,6 +301,10 @@ class SkewIcpResult(NamedTuple):
     converged: jnp.ndarray
     num_correspondences: jnp.ndarray
     iterations: jnp.ndarray
+    # (6, 6) pose block of the final data Gauss-Newton Hessian — the
+    # adaptive edge-information source (ops/icp.py ``want_hessian``
+    # parity); None unless requested
+    hessian: Optional[jnp.ndarray] = None
 
 
 def _skew_mats(v: jnp.ndarray) -> jnp.ndarray:
@@ -313,6 +333,7 @@ def skew_aware_icp(
     target_valid_len: Optional[jnp.ndarray] = None,
     skew_prior_weight: float = 1.0,
     skew_prior_t_factor: float = 100.0,
+    want_hessian: bool = False,
 ) -> SkewIcpResult:
     """Register ``source`` (a skewed sweep with per-point capture
     fractions ``sweep_u``) onto ``target``, solving pose + sweep motion.
@@ -365,6 +386,7 @@ def skew_aware_icp(
         delta: jnp.ndarray
         d2: jnp.ndarray
         corr: jnp.ndarray
+        H6: jnp.ndarray       # (6, 6) pose block of the data GN Hessian
 
     def warp(M):
         """De-skewed source points p' = p + u (t_m + ω_m × p)."""
@@ -423,6 +445,7 @@ def skew_aware_icp(
         WJ = jnp.einsum("nab,nbk->nak", W, J)
         H = jnp.einsum("nak,nal,n->kl", J, WJ, w)    # (12, 12)
         g = jnp.einsum("nak,na,n->k", WJ, r, w)      # (12,)
+        H6 = H[:6, :6]  # data-only pose information (before priors)
 
         # block-wise prior M → seed: stiff on translation (collinear
         # with the pose translation; CV is a good model), weak on
@@ -446,7 +469,7 @@ def skew_aware_icp(
         new_M = c.M + delta[6:]
         return Carry(
             pose=new_pose, M=new_M, it=c.it + 1,
-            delta=jnp.linalg.norm(delta), d2=d2, corr=corr,
+            delta=jnp.linalg.norm(delta), d2=d2, corr=corr, H6=H6,
         )
 
     def cond(c: Carry):
@@ -460,6 +483,7 @@ def skew_aware_icp(
         delta=jnp.asarray(jnp.inf, pts.dtype),
         d2=jnp.full((N,), jnp.inf, pts.dtype),
         corr=jnp.zeros((N,), bool),
+        H6=jnp.zeros((6, 6), pts.dtype),
     )
     final = jax.lax.while_loop(cond, step, c0)
 
@@ -486,4 +510,8 @@ def skew_aware_icp(
         converged=converged,
         num_correspondences=n_corr,
         iterations=final.it,
+        hessian=(
+            jnp.where(jnp.all(jnp.isfinite(final.H6)), final.H6, 0.0)
+            if want_hessian else None
+        ),
     )

@@ -237,8 +237,10 @@ def odometry_step(
                 init=state.last_transform,
                 source_covs=covs if plane else None,
                 target_covs=state.prev_covs if plane else None,
+                target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
                 free_source_twist=config.deskew_free_twist,
                 source_twist_prior_weight=config.deskew_prior_weight,
+                want_hessian=config.adaptive_information,
             )
             accepted = res.converged & (res.fitness < icfg.fitness_threshold)
             transform = Pose(
@@ -248,9 +250,14 @@ def odometry_step(
             twist = jnp.where(
                 accepted, res.skew_twist, se3.se3_log(state.last_transform)
             )
+            hess = (
+                res.hessian * accepted.astype(jnp.float32)
+                if config.adaptive_information
+                else jnp.zeros((6, 6), jnp.float32)
+            )
             return (
                 transform, accepted, res.fitness, res.num_correspondences,
-                res.iterations, jnp.zeros((6, 6), jnp.float32), twist,
+                res.iterations, hess, twist,
             )
 
         def no_register_coupled(_):
@@ -271,6 +278,13 @@ def odometry_step(
             points=jnp.where(filtered_s.mask[:, None], map_pts, 0.0),
             mask=filtered_s.mask,
         )
+        # the de-skewed output cloud needs covariances of ITS OWN
+        # neighborhoods (the warp moves points by up to ~0.8 m at range
+        # on fast corners — smeared-cloud normals would feed the mapping
+        # GICP wrong planes exactly where de-skew matters); the SKEWED
+        # `covs` stay with the skewed prev stash for the next coupled
+        # registration
+        out_covs = compute_covariances(filtered, icfg) if plane else covs
         stash_cloud, stash_u = filtered_s, u_f
     elif config.deskew_rounds > 0 and config.deskew_mode == "joint":
         # joint 12-DoF skew-aware registration (no INS, DESIGN §14): the
@@ -303,6 +317,7 @@ def odometry_step(
                 target_covs=state.prev_covs if plane else None,
                 target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
                 skew_prior_weight=config.deskew_prior_weight,
+                want_hessian=config.adaptive_information,
             )
             accepted = res.converged & (res.fitness < icfg.fitness_threshold)
             transform = Pose(
@@ -310,9 +325,14 @@ def odometry_step(
                 q=jnp.where(accepted, res.pose.q, se3.identity().q),
             )
             twist = jnp.where(accepted, res.skew_twist, cv_seed)
+            hess = (
+                res.hessian * accepted.astype(jnp.float32)
+                if config.adaptive_information
+                else jnp.zeros((6, 6), jnp.float32)
+            )
             return (
                 transform, accepted, res.fitness, res.num_correspondences,
-                res.iterations, jnp.zeros((6, 6), jnp.float32), twist,
+                res.iterations, hess, twist,
             )
 
         def no_register_joint(_):
@@ -331,6 +351,7 @@ def odometry_step(
             mask=raw_scan.mask,
         )
         filtered, num_voxels, covs = filter_and_covs(scan_d)
+        out_covs = covs
     elif config.deskew_rounds > 0:
         # in-loop iterative de-skew, alternating variant (DESIGN §14):
         # re-skew ↔ register, seeded by constant velocity. Each round
@@ -359,6 +380,7 @@ def odometry_step(
                 t=jnp.where(accepted, transform.t, rel.t),
                 q=jnp.where(accepted, transform.q, rel.q),
             )
+        out_covs = covs
     else:
         filtered, num_voxels, covs = filter_and_covs(raw_scan)
         transform, accepted, fitness, n_corr, iters, hessian = jax.lax.cond(
@@ -367,6 +389,7 @@ def odometry_step(
             no_register,
             operand=None,
         )
+        out_covs = covs
 
     new_pose = se3.normalize(se3.compose(state.pose, transform))
     new_accum = se3.normalize(se3.compose(state.accum, transform))
@@ -418,7 +441,7 @@ def odometry_step(
         iterations=iters,
         num_voxels=num_voxels,
         filtered=filtered,
-        filtered_covs=covs,
+        filtered_covs=out_covs,
         hessian=hessian,
     )
     return new_state, out

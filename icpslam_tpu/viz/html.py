@@ -125,6 +125,10 @@ def graph_layers(state, config=None) -> list:
     odom_color = None
     if config is not None:
         node_size = 8.0 * float(config.marker_scale_nodes) / 0.1
+        # NOTE: browsers clamp WebGL1 gl.lineWidth to 1 px on most
+        # platforms (ANGLE); the width is still set and recorded in the
+        # layer for renderers that honor it — node sizing is the
+        # reliably-visible scale control
         edge_width = max(1.0, float(config.marker_scale_edges) / 0.05)
         if tuple(config.icp_nodes_markers_color) != _REF_NODE_COLOR:
             node_flat = tuple(config.icp_nodes_markers_color)[:3]

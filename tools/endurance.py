@@ -56,19 +56,24 @@ def main() -> int:
     ap.add_argument("--scans", type=int, default=2000)
     ap.add_argument("--cache", type=str, default="/tmp/proxy2000.npz")
     ap.add_argument("--out", type=str, default="artifacts/endurance_2000.json")
-    ap.add_argument("--keyframe-distance", type=float, default=1.0,
-                    help="1.0 m over a ~1600 m mission wants ~1600 "
-                    "keyframes — deliberately past the 512 capacity, so "
-                    "the at-capacity path runs for most of the mission")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="endurance_")
     half = args.scans // 2
+    # healthy mission: 1024-keyframe capacity fits the ~800 keyframes a
+    # 2.0 m gate wants over the ~1600 m route — loop closures (and
+    # therefore bounded drift) all mission long. The physics proxy's
+    # sweeps are motion-smeared, so the mission runs the no-INS coupled
+    # de-skew (raw smeared tracking degrades to ~15-21 m ATE over 2 km —
+    # measured; DESIGN §14)
+    caps = [
+        "--max-keyframes", "1024",
+        "--deskew-rounds", "1", "--deskew-free-twist",
+    ]
     base = [
         "--kitti-proxy", "--poses", str(args.scans),
-        "--keyframe-distance", str(args.keyframe_distance),
         "--scan-cache", args.cache,
-    ]
+    ] + caps
 
     # --- run A: the full mission in one process -------------------------
     trajA = os.path.join(tmp, "trajA.npz")
@@ -79,16 +84,13 @@ def main() -> int:
     ckpt = os.path.join(tmp, "ckpt.npz")
     B1 = run_runner([
         "--kitti-proxy", "--poses", str(half),
-        "--keyframe-distance", str(args.keyframe_distance),
         "--scan-cache", args.cache,
         "--save-state", ckpt,
-    ])
+    ] + caps)
     trajB2 = os.path.join(tmp, "trajB2.npz")
-    t0 = time.time()
     B2 = run_runner(base + [
         "--start", str(half), "--resume", ckpt, "--out", trajB2,
     ])
-    resumed_wall = time.time() - t0
 
     # --- equivalence + drift metrics ------------------------------------
     a = np.load(trajA)["t"] if "t" in np.load(trajA) else np.load(trajA)["traj_t"]
@@ -100,10 +102,24 @@ def main() -> int:
     tail_rmse = float(np.sqrt(np.mean(np.sum((tailA[:m] - b2t[:m]) ** 2, -1))))
 
     # late-mission throughput: the resumed half runs with ≥ half-full
-    # stores end to end; exclude that invocation's compile time
+    # stores end to end; the runner's own wall_time_s excludes stream
+    # setup, compile_ms the first-dispatch compile
     late_sps = (args.scans - half) / max(
-        resumed_wall - B2.get("compile_ms", 0.0) / 1000.0, 1e-9
+        B2["wall_time_s"] - B2.get("compile_ms", 0.0) / 1000.0, 1e-9
     )
+
+    # --- run C: capacity-EXHAUSTION phase — a 1.0 m gate wants ~1600
+    # keyframes against the default 512 capacity, so the store is full
+    # for the last two thirds of the mission: no new nodes, no new loop
+    # closures, tracking continues on odometry + scan-to-map (graceful
+    # degradation; the reference would grow without bound instead,
+    # icpslam.cpp:88)
+    C = run_runner([
+        "--kitti-proxy", "--poses", str(args.scans),
+        "--keyframe-distance", "1.0",
+        "--scan-cache", args.cache,
+        "--deskew-rounds", "1", "--deskew-free-twist",
+    ])
 
     artifact = {
         "metric": "endurance_2000",
@@ -119,15 +135,17 @@ def main() -> int:
             "bit-identity is not expected — near-identity is",
         },
         "late_mission_scans_per_sec": round(late_sps, 2),
-        "capacity_pressure": {
-            "keyframes_full": A["keyframes"],
+        "capacity_exhaustion_run": {
+            **C,
             "keyframe_capacity": 512,
-            "at_capacity": A["keyframes"] >= 512,
-            "map_overflow": A["map_overflow"],
+            "at_capacity": C["keyframes"] >= 512,
             "note": "keyframe store intentionally driven to capacity "
-            "(gate 1.0 m over ~1600 m); past it the store stops "
-            "growing and the pipeline keeps tracking on odometry + "
-            "scan-to-map (graceful degradation, counted not silent)",
+            "(gate 1.0 m wants ~1600 keyframes vs 512 capacity); past "
+            "it the store stops growing — no new nodes or loop "
+            "closures — and the pipeline keeps tracking on odometry + "
+            "scan-to-map (per-scan RPE stays at the healthy level; the "
+            "accumulated ATE grows without loop closures, bounded by "
+            "the scan-to-map anchor on revisited streets)",
         },
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

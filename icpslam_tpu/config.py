@@ -161,6 +161,17 @@ class SlamConfig:
     # device count for map_backend='sharded' (static so state shapes are
     # config-derived; must equal the mesh size passed to slam_step)
     map_shards: int = 1
+    # what a FULL map does with new geometry (point backend):
+    # 'none' (default) — drop new points and count them in `overflow`
+    #   (the reset-on-optimize cadence keeps the map far from capacity in
+    #   normal operation, so drops should never happen — a nonzero
+    #   counter is a sizing signal);
+    # 'ring' — overwrite the OLDEST map points instead (FIFO eviction):
+    #   a long mission with reset_map_on_optimize=False keeps absorbing
+    #   recent geometry forever and `overflow` counts evictions. The
+    #   reference has neither — its octree grows without bound
+    #   (octree_mapper.cpp:63-70).
+    map_eviction: str = "none"
     # ablation / odometry-only mode: skip scan-to-map refinement entirely
     # (the reference's refine call, icpslam.cpp:135). The map stays empty
     # in this mode (refinement is its only growth path); checkpoint

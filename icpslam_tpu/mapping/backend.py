@@ -74,13 +74,16 @@ def insert(
     resolution: float,
     covs: jnp.ndarray | None = None,
     mesh: Optional[Mesh] = None,
+    eviction: str = "none",
 ) -> MapState:
     """``covs``: optional packed (6, N) map-frame surface covariances
     (``linalg3.mat_to_sym6`` layout) stored with the points (point backend
     only; the voxel backends ignore them — their plane-mode queries
-    recompute covariances from the NN cloud)."""
+    recompute covariances from the NN cloud). ``eviction``: full-map
+    policy (``config.map_eviction``; point backend only — the voxel
+    backends keep counted drops)."""
     if isinstance(map_, pm.PointMap):
-        return pm.insert(map_, cloud, resolution, covs=covs)
+        return pm.insert(map_, cloud, resolution, covs=covs, eviction=eviction)
     if is_sharded(map_):
         assert mesh is not None, "sharded map ops need the mesh"
         return _sharded_ops().insert(map_, cloud, resolution, mesh)
@@ -94,6 +97,7 @@ def insert_reusing_nn(
     nn_dist2: jnp.ndarray,
     covs: jnp.ndarray | None = None,
     mesh: Optional[Mesh] = None,
+    eviction: str = "none",
 ) -> MapState:
     """Insert with a precomputed per-point NN distance to the map.
 
@@ -102,7 +106,9 @@ def insert_reusing_nn(
     the plain insert.
     """
     if isinstance(map_, pm.PointMap):
-        return pm.insert_with_nn(map_, cloud, resolution, nn_dist2, covs=covs)
+        return pm.insert_with_nn(
+            map_, cloud, resolution, nn_dist2, covs=covs, eviction=eviction
+        )
     return insert(map_, cloud, resolution, mesh=mesh)
 
 

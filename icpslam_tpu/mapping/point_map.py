@@ -77,11 +77,26 @@ def _append(
     points: jnp.ndarray,
     new: jnp.ndarray,
     covs: Optional[jnp.ndarray],
+    eviction: str = "none",
 ) -> PointMap:
-    """Scatter-append the ``new``-masked points (and covariances)."""
+    """Scatter-append the ``new``-masked points (and covariances).
+
+    ``eviction='ring'``: at capacity, overwrite the OLDEST points (FIFO)
+    instead of dropping the new ones — ``overflow`` then counts
+    evictions. The write cursor needs no extra state: ``size + overflow``
+    is the monotone count of points ever written, so ``% capacity`` IS
+    the ring position (``size`` saturates at capacity, ``overflow``
+    keeps growing).
+    """
     C = pmap.capacity
-    pos = pmap.size + jnp.cumsum(new.astype(jnp.int32)) - 1
-    pos = jnp.where(new & (pos < C), pos, C)
+    n_new = jnp.sum(new.astype(jnp.int32))
+    if eviction == "ring":
+        start = pmap.size + pmap.overflow        # points ever written
+        pos = start + jnp.cumsum(new.astype(jnp.int32)) - 1
+        pos = jnp.where(new, pos % C, C)         # wrap; masked -> dropped
+    else:
+        pos = pmap.size + jnp.cumsum(new.astype(jnp.int32)) - 1
+        pos = jnp.where(new & (pos < C), pos, C)
     out_points = pmap.points.at[pos].set(points, mode="drop")
     if covs is None:
         packed = jnp.broadcast_to(
@@ -90,7 +105,6 @@ def _append(
     else:
         packed = covs  # (6, N) components-first
     out_covs = pmap.covs.at[:, pos].set(packed, mode="drop")
-    n_new = jnp.sum(new.astype(jnp.int32))
     total = pmap.size + n_new
     return PointMap(
         points=out_points,
@@ -105,6 +119,7 @@ def insert(
     cloud: PointCloud,
     resolution: float,
     covs: Optional[jnp.ndarray] = None,
+    eviction: str = "none",
 ) -> PointMap:
     """Distance-gated append of a (map-frame) cloud.
 
@@ -121,7 +136,7 @@ def insert(
     # no existing map point within `resolution` → genuinely new surface
     far = ~(res.dist2 < resolution * resolution)  # True also when dist2=inf
     new = filt.mask & far
-    return _append(pmap, filt.points, new, covs)
+    return _append(pmap, filt.points, new, covs, eviction=eviction)
 
 
 def insert_with_nn(
@@ -130,6 +145,7 @@ def insert_with_nn(
     resolution: float,
     nn_dist2: jnp.ndarray,
     covs: Optional[jnp.ndarray] = None,
+    eviction: str = "none",
 ) -> PointMap:
     """Distance-gated append reusing a precomputed NN distance per point.
 
@@ -149,7 +165,7 @@ def insert_with_nn(
     """
     far = ~(nn_dist2 < resolution * resolution)  # True also when dist2=inf
     new = cloud.mask & far
-    return _append(pmap, cloud.points, new, covs)
+    return _append(pmap, cloud.points, new, covs, eviction=eviction)
 
 
 def exact_nn(pmap: PointMap, points: jnp.ndarray, mask: jnp.ndarray) -> MapNNResult:

@@ -114,9 +114,13 @@ def refine_and_grow(
                 map_, cloud_in_map, res_m,
                 jnp.full((scan.capacity,), jnp.inf, jnp.float32),
                 covs=covs_map,
+                eviction=config.map_eviction,
             )
         else:
-            grown = map_backend.insert(map_, cloud_in_map, res_m, mesh=mesh)
+            grown = map_backend.insert(
+                map_, cloud_in_map, res_m, mesh=mesh,
+                eviction=config.map_eviction,
+            )
         return RefineResult(
             success=jnp.asarray(False),
             refined_pose=raw_pose,
@@ -273,10 +277,14 @@ def refine_and_grow(
             # the map — reuse it for the dedup gate instead of paying a
             # second full NN sweep inside insert
             grown = map_backend.insert_reusing_nn(
-                map_, grow_cloud, res_m, nn.dist2, covs=grow_covs
+                map_, grow_cloud, res_m, nn.dist2, covs=grow_covs,
+                eviction=config.map_eviction,
             )
         else:
-            grown = map_backend.insert(map_, grow_cloud, res_m, mesh=mesh)
+            grown = map_backend.insert(
+                map_, grow_cloud, res_m, mesh=mesh,
+                eviction=config.map_eviction,
+            )
         # on failure the reference does not grow the map (``:155-169``)
         final_map = jax.tree_util.tree_map(
             lambda a, b: jnp.where(success, a, b), grown, map_

@@ -105,8 +105,12 @@ def rerender_map(state, config: SlamConfig, mesh=None):
             )
             nn = pm.exact_nn(m, world.points, world.mask)
             m = pm.insert_with_nn(
-                m, world, config.map_resolution, nn.dist2, covs=covs_w
+                m, world, config.map_resolution, nn.dist2, covs=covs_w,
+                eviction=config.map_eviction,
             )
         else:
-            m = map_backend.insert(m, world, config.map_resolution, mesh=mesh)
+            m = map_backend.insert(
+                m, world, config.map_resolution, mesh=mesh,
+                eviction=config.map_eviction,
+            )
     return state._replace(map=m)

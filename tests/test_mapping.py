@@ -251,3 +251,86 @@ class TestStoredCovariances:
         err_raw = float(jnp.linalg.norm(off.t))
         err_ref = float(jnp.linalg.norm(r1.refined_pose.t))
         assert err_ref < 0.5 * err_raw, (err_raw, err_ref)
+
+
+class TestRingEviction:
+    """map_eviction='ring' (point backend): a full map overwrites its
+    OLDEST points instead of dropping new geometry — overflow counts
+    evictions (the reference's octree grows without bound instead,
+    octree_mapper.cpp:63-70)."""
+
+    def test_ring_overwrites_oldest(self):
+        import jax.numpy as jnp
+
+        from icpslam_tpu.cloud import pointcloud as pc
+        from icpslam_tpu.mapping import point_map as pm
+
+        C = 64
+        m = pm.empty_map(C)
+        # three waves of 32 well-separated points each: 96 total into 64
+        def wave(k):
+            pts = np.zeros((32, 3), np.float32)
+            pts[:, 0] = np.arange(32) * 10.0
+            pts[:, 1] = k * 1000.0
+            return pc.from_points(pts, capacity=32)
+
+        for k in range(3):
+            m = pm.insert(m, wave(k), resolution=0.5, eviction="ring")
+        assert int(m.size) == C
+        assert int(m.overflow) == 32  # evictions, counted
+        ys = np.asarray(m.points)[:, 1]
+        # wave 0 (y=0) was fully evicted by wave 2; waves 1 and 2 live
+        live = ys[np.asarray(m.occupancy_mask())]
+        assert (np.sort(np.unique(live)) == [1000.0, 2000.0]).all(), np.unique(live)
+
+    def test_none_drops_and_counts(self):
+        from icpslam_tpu.cloud import pointcloud as pc
+        from icpslam_tpu.mapping import point_map as pm
+
+        C = 64
+        m = pm.empty_map(C)
+        def wave(k):
+            pts = np.zeros((32, 3), np.float32)
+            pts[:, 0] = np.arange(32) * 10.0
+            pts[:, 1] = k * 1000.0
+            return pc.from_points(pts, capacity=32)
+
+        for k in range(3):
+            m = pm.insert(m, wave(k), resolution=0.5)
+        assert int(m.size) == C
+        assert int(m.overflow) == 32  # drops, counted
+        ys = np.asarray(m.points)[:, 1][np.asarray(m.occupancy_mask())]
+        # waves 0 and 1 live; wave 2 was dropped
+        assert (np.sort(np.unique(ys)) == [0.0, 1000.0]).all()
+
+    def test_pipeline_keeps_absorbing_with_ring(self):
+        """reset_map_on_optimize=False + tiny map + ring: the map keeps
+        absorbing RECENT geometry all mission (VERDICT r3 weak #6: with
+        'none' it silently stops integrating once full)."""
+        import jax
+
+        from icpslam_tpu.config import IcpConfig, tiny_config
+        from icpslam_tpu.geometry import se3
+        from icpslam_tpu.io import synthetic
+        from icpslam_tpu.pipeline import slam
+
+        cfg = tiny_config(
+            voxel_leaf_size=0.3, map_resolution=0.3,
+            icp_odometry=IcpConfig(mode="plane", max_iterations=8),
+            icp_mapping=IcpConfig(mode="point", max_iterations=10),
+            max_points=1024, max_raw_points=2048, max_map_points=2048,
+            max_keyframes=64, max_edges=256,
+            reset_map_on_optimize=False, map_eviction="ring",
+        )
+        world = synthetic.make_room_world(seed=0, n_points=12000)
+        gt = synthetic.make_loop_trajectory(n_poses=30, radius=5.0, laps=1.2)
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        st = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        for scan in synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, max_range=12.0,
+            n_points=1200, noise=0.01,
+        ):
+            st, out = step(st, scan, cfg)
+        assert int(st.map.size) == cfg.max_map_points  # full…
+        assert int(st.map.overflow) > 0                # …and still absorbing
+        assert bool(np.isfinite(np.asarray(st.slam_pose.t)).all())

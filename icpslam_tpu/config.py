@@ -91,16 +91,14 @@ class SlamConfig:
     num_clouds_skip: int = 0          # icpslam.yaml:13
     voxel_leaf_size: float = 0.2      # icpslam.yaml:14
     icp_odometry: IcpConfig = dataclasses.field(default_factory=IcpConfig)
-    # in-loop iterative motion de-skew (no INS): > 0 runs that many
-    # alternating re-skew ↔ register rounds per scan inside the odometry
-    # step — de-skew the raw sweep with the current motion estimate
-    # (constant-velocity seed = last accepted transform), voxel-filter,
-    # register against the previous (clean) cloud, update the estimate,
-    # repeat. Sweep fractions derive from point azimuth
-    # (cloud/deskew.py); the filtered cloud handed to mapping is the
-    # final de-skewed one. 0 (default) compiles the whole path out —
-    # the reference has no de-skew at all. The INS-measured alternative
-    # stays at ingest (runner --deskew). 2 rounds suffice (DESIGN §14).
+    # in-loop motion de-skew (no INS): > 0 enables it inside the odometry
+    # step. Sweep fractions derive from point azimuth (cloud/deskew.py);
+    # the filtered cloud handed to mapping is de-skewed. 0 (default)
+    # compiles the whole path out — the reference has no de-skew at all;
+    # the INS-measured alternative stays at ingest (runner --deskew).
+    # The value is the round count ONLY for deskew_mode='alternate'
+    # (re-skew ↔ register repeats; 2 suffice); 'coupled' and 'joint'
+    # solve in one registration and treat any value > 0 as on.
     deskew_rounds: int = 0
     # 'coupled' (default, DESIGN §14): register the raw smeared sweeps
     # directly — the previous sweep is warped by the very transform

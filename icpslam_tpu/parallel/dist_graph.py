@@ -205,7 +205,9 @@ def _sharded_schur_delta(
         raise ValueError(f"node capacity {K} must divide the mesh axis {D}")
     chunk = K // D
     n = 6 * chunk
-    S = sep_capacity
+    # a separator can never exceed the node count — clamp so small
+    # (bucketed) systems don't build an S > K reduced system
+    S = min(sep_capacity, K)
 
     n_sep = jnp.sum(sep_mask.astype(jnp.int32))
     ok = n_sep <= S

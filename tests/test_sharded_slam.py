@@ -300,3 +300,23 @@ class TestShardedPressure:
         # than shards x per-shard cap and overflow totals are of the
         # same order as the single-device drop count
         assert sizes.sum() <= 8 * cap
+
+    def test_dist_schur_matches_replicated(self):
+        """The chunk↔device Schur solver, driven from the STREAMING step
+        (graph_linear_solver='dist-schur'); node capacity (32) divides
+        the mesh (8) as the distributed elimination requires."""
+        cfg_r = make_cfg("voxel", graph_incremental=False,
+                         graph_linear_solver="direct")
+        scans, gt = make_stream(cfg_r, n_poses=10, laps=0.5)
+        st_r, traj_r = drive(cfg_r, scans, gt)
+
+        mesh = mesh_lib.make_mesh(8)
+        cfg_d = make_cfg("voxel", graph_incremental=False,
+                         graph_linear_solver="dist-schur")
+        st_d, traj_d = drive(cfg_d, scans, gt, mesh=mesh)
+
+        assert int(st_d.num_optimizations) == int(st_r.num_optimizations)
+        assert int(st_d.num_optimizations) >= 1
+        np.testing.assert_allclose(
+            np.asarray(traj_d.t), np.asarray(traj_r.t), atol=2e-3
+        )

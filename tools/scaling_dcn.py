@@ -1,0 +1,163 @@
+"""Two-process (DCN) scaling rung with comm-vs-compute attribution.
+
+BASELINE metric 4 (≥75% efficiency at 2+ hosts) needs real multi-host
+hardware; what CAN be validated here is that the scaling harness's whole
+measurement chain works ACROSS OS PROCESS BOUNDARIES: two processes
+rendezvous over ``jax.distributed`` (loopback DCN), build a global
+4-device mesh (2 local CPU devices each), feed process-local input
+shards, run the sharded batch SLAM step (vmapped GICP registration +
+edge-sharded distributed graph solve), and time each configuration twice
+— once real, once with every collective replaced by a local no-op
+(``dist_graph.ABLATE_COLLECTIVES``) — splitting the step into
+``{compute_ms, collective_ms}`` where the collectives genuinely cross
+processes.
+
+Efficiency numbers from co-located processes on one machine are
+meaningless (shared cores); the artifact records the ATTRIBUTION and the
+working DCN recipe, which is what a future pod run reuses.
+
+    python tools/scaling_dcn.py --out artifacts/scaling_dcn2.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.environ["ICPSLAM_REPO"])
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from icpslam_tpu.config import IcpConfig
+from icpslam_tpu.parallel import dist_graph, dist_step, multihost
+from icpslam_tpu.parallel.scaling import _render_pairs
+
+addr, pid = sys.argv[1], int(sys.argv[2])
+multihost.initialize(coordinator_address=addr, num_processes=2, process_id=pid)
+mesh = multihost.global_mesh()
+n_dev = len(jax.devices())
+assert n_dev == 4, n_dev
+shard = NamedSharding(mesh, P("dp"))
+
+B = 4  # one pair per global device
+batch_a, batch_b = _render_pairs(B, capacity=2048, n_points=1500)
+
+def globalize(batch):
+    out = []
+    for x in batch:
+        x = np.asarray(x)
+        lo = pid * (B // 2)
+        out.append(jax.make_array_from_process_local_data(
+            shard, x[lo : lo + B // 2], x.shape
+        ))
+    return tuple(out)
+
+ga, gb = globalize(batch_a), globalize(batch_b)
+icfg = IcpConfig(mode="plane", max_iterations=5, covariance_knn=8)
+
+def timed(step_fn, repeats=4):
+    jax.block_until_ready(step_fn(*ga))   # compile + warm
+    jax.block_until_ready(step_fn(*gb))
+    t0 = time.perf_counter()
+    for r in range(repeats):
+        out = step_fn(*(ga if r % 2 == 0 else gb))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeats
+
+dt = timed(dist_step.make_batched_step(icfg, mesh))
+try:
+    dist_graph.ABLATE_COLLECTIVES = True
+    dt_abl = timed(dist_step.make_batched_step(icfg, mesh))
+finally:
+    dist_graph.ABLATE_COLLECTIVES = False
+
+if pid == 0:
+    print("RESULT " + json.dumps({
+        "processes": 2,
+        "global_devices": n_dev,
+        "pairs": B,
+        "step_ms": round(dt * 1000.0, 3),
+        "compute_ms": round(dt_abl * 1000.0, 3),
+        "collective_ms": round(max(dt - dt_abl, 0.0) * 1000.0, 3),
+        "collective_frac": round(
+            max(dt - dt_abl, 0.0) / max(dt, 1e-9), 4
+        ),
+    }))
+print(f"proc{pid}: DCN-SCALING-OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", type=str, default="artifacts/scaling_dcn2.json")
+    args = ap.parse_args()
+
+    import tempfile
+
+    addr = f"127.0.0.1:{_free_port()}"
+    worker_py = os.path.join(tempfile.mkdtemp(prefix="dcn_"), "worker.py")
+    with open(worker_py, "w") as f:
+        f.write(WORKER)
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PALLAS_AXON_POOL_IPS")
+    }
+    env["ICPSLAM_REPO"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker_py, addr, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 or "DCN-SCALING-OK" not in out:
+            raise RuntimeError(f"proc{pid} failed:\n{out[-3000:]}")
+    result_line = [
+        l for l in outs[0].splitlines() if l.startswith("RESULT ")
+    ][0]
+    rung = json.loads(result_line[len("RESULT "):])
+    artifact = {
+        "metric": "scaling_dcn_attribution",
+        "backend": "cpu (2 OS processes, loopback DCN via jax.distributed)",
+        "note": "co-located processes share cores, so efficiency is not "
+        "meaningful here — the artifact proves the cross-process "
+        "measurement chain (rendezvous, process-local input shards, "
+        "collectives over DCN, psum-ablation attribution) that a pod "
+        "run reuses unchanged",
+        **rung,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

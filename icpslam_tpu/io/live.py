@@ -58,6 +58,7 @@ def directory_stream(
     min_range: float = 2.5,
     max_range: float = 80.0,
     use_native: Optional[bool] = None,
+    logger=None,
 ) -> Iterator:
     """Yield padded scans (or ``(cloud, stamp)`` pairs) from ``path`` as
     files arrive, ordered by parsed sensor stamp within each poll batch.
@@ -71,18 +72,20 @@ def directory_stream(
     seen: Dict[str, None] = {}  # insertion-ordered; pruned at _SEEN_LIMIT
     sizes: Dict[str, int] = {}  # last observed size of not-yet-stable files
     # Highest consumed parseable filename stamp. Once eviction has begun,
-    # a not-in-``seen`` ``.bin`` whose stamp is <= this is ambiguous —
-    # either already consumed (name evicted) or an out-of-order late
-    # arrival — and is skipped WITH a warning + counter (losses are
-    # counted, never silent). Before any eviction, ``seen`` is complete,
-    # so a new name below the watermark is provably a late arrival and
-    # is ingested out of order instead.
+    # a not-in-``seen`` ``.bin`` whose stamp is <= this is skipped: it is
+    # indistinguishable from an already-consumed file whose name was
+    # evicted, and with a producer that never deletes, consumed files
+    # DOMINATE that set — per-file counting/warning would flood false
+    # positives and reinstate unbounded bookkeeping. The first eviction
+    # logs the cutoff once so the policy is visible. Before any eviction,
+    # ``seen`` is complete, so a new name below the watermark is provably
+    # a late out-of-order arrival and is ingested.
     watermark = float("-inf")
     n_evicted = 0
-    n_stale_skipped = 0
-    from icpslam_tpu.utils.logging import Logger
+    if logger is None:
+        from icpslam_tpu.utils.logging import Logger
 
-    log = Logger(level=1)
+        logger = Logger(level=1)
 
     def _name_stamp(name: str) -> Optional[float]:
         try:
@@ -102,20 +105,7 @@ def directory_stream(
                     elif e.name.endswith(".bin") and e.name not in seen:
                         s = _name_stamp(e.name)
                         if s is not None and s <= watermark and n_evicted:
-                            # ambiguous: consumed-then-evicted OR a late
-                            # out-of-order arrival — skipped, but never
-                            # silently (see watermark comment above)
-                            if e.name not in sizes:
-                                n_stale_skipped += 1
-                                log.warn(
-                                    f"live ingest: skipping {e.name} "
-                                    f"(stamp <= consumed watermark "
-                                    f"{watermark:.6f} after bookkeeping "
-                                    f"eviction; {n_stale_skipped} skipped "
-                                    "so far)"
-                                )
-                                sizes[e.name] = -1  # warn once per file
-                            continue
+                            continue  # see watermark policy comment above
                         candidates.append(e)
         except FileNotFoundError:
             pass
@@ -150,6 +140,14 @@ def directory_stream(
                 # <= watermark): those can never be re-yielded. Names
                 # without a parseable stamp must stay pinned — the name
                 # set is their only duplicate guard.
+                if n_evicted == 0:
+                    logger.info(
+                        "live ingest: bookkeeping eviction active — "
+                        f".bin names with stamp <= {watermark:.6f} (and "
+                        "below the future consumed watermark) will not "
+                        "be re-ingested; producers should delete or "
+                        "stamp-order their files"
+                    )
                 for old in list(seen)[: _SEEN_LIMIT // 2]:
                     so = _name_stamp(old)
                     if so is not None and so <= watermark:

@@ -790,7 +790,7 @@ def main(argv=None) -> int:
         from icpslam_tpu.io import live
 
         scans = live.directory_stream(
-            args.watch, cfg.max_raw_points, with_stamps=True
+            args.watch, cfg.max_raw_points, with_stamps=True, logger=log
         )
         init = None
         log.info(f"watching {args.watch} for incoming scans")

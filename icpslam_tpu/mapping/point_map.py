@@ -91,6 +91,12 @@ def _append(
     C = pmap.capacity
     n_new = jnp.sum(new.astype(jnp.int32))
     if eviction == "ring":
+        rank = jnp.cumsum(new.astype(jnp.int32))  # 1-based among new
+        # a single insert larger than the whole map would wrap the ring
+        # onto itself (duplicate scatter indices → undefined winner);
+        # keep only the NEWEST C points of the batch — the older extras
+        # are evictions like any other and stay in the overflow count
+        new = new & ((n_new - rank) < C)
         start = pmap.size + pmap.overflow        # points ever written
         pos = start + jnp.cumsum(new.astype(jnp.int32)) - 1
         pos = jnp.where(new, pos % C, C)         # wrap; masked -> dropped

@@ -172,10 +172,13 @@ def measure_scaling(
         sps = B / dt
 
         # comm-vs-compute attribution (VERDICT r3 weak #2): re-jit the
-        # SAME rung with every collective replaced by a shape-preserving
-        # local no-op (dist_graph.ABLATE_COLLECTIVES) — identical
-        # per-device FLOPs, zero communication. collective_ms is the
-        # difference; on a real pod it says WHERE scaling efficiency goes.
+        # SAME rung with every EXPLICIT collective replaced by a
+        # shape-preserving local no-op (dist_graph.ABLATE_COLLECTIVES) —
+        # identical per-device FLOPs. collective_ms is the difference.
+        # NOTE: SPMD-inserted communication (the trajectory chaining's
+        # sharded associative scan, output replication) is NOT ablated,
+        # so collective_ms is a LOWER bound on true communication time;
+        # the dominant solver psums/all_gathers are all covered.
         step_abl = None
         try:
             dist_graph.ABLATE_COLLECTIVES = True

@@ -316,7 +316,11 @@ def odometry_step(
                 source_covs=covs_s if plane else None,
                 target_covs=state.prev_covs if plane else None,
                 target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
-                skew_prior_weight=config.deskew_prior_weight,
+                # the joint mode is kept at its MEASURED operating point
+                # (weight 1.0, DESIGN §14 table) — config.deskew_prior_weight
+                # was re-tuned for coupled free-twist mode (default 100)
+                # and would silently re-tune this comparison baseline
+                skew_prior_weight=1.0,
                 want_hessian=config.adaptive_information,
             )
             accepted = res.converged & (res.fitness < icfg.fitness_threshold)

@@ -122,6 +122,7 @@ def graph_layers(state, config=None) -> list:
     node_colors = None
     node_flat = None
     seq_color = (0.55, 0.55, 0.6)
+    loop_color = (1.0, 0.25, 0.25)
     odom_color = None
     if config is not None:
         node_size = 8.0 * float(config.marker_scale_nodes) / 0.1
@@ -133,7 +134,11 @@ def graph_layers(state, config=None) -> list:
         if tuple(config.icp_nodes_markers_color) != _REF_NODE_COLOR:
             node_flat = tuple(config.icp_nodes_markers_color)[:3]
         if tuple(config.edges_markers_color) != _REF_EDGE_COLOR:
+            # the reference has ONE edge color for its whole marker
+            # array — an explicitly configured value applies to loop
+            # edges too (the red loop highlight is viewer default only)
             seq_color = tuple(config.edges_markers_color)[:3]
+            loop_color = seq_color
         if tuple(config.odom_nodes_markers_color) != _REF_ODOM_COLOR:
             odom_color = tuple(config.odom_nodes_markers_color)[:3]
     t = np.asarray(store.pose_graph.t)[:n]
@@ -173,7 +178,7 @@ def graph_layers(state, config=None) -> list:
             layers.append(lay)
         if loop:
             lay = line_layer("loop edges", np.asarray(loop), strip=False,
-                             color=(1.0, 0.25, 0.25))
+                             color=loop_color)
             lay["width"] = edge_width
             layers.append(lay)
     return layers

@@ -149,7 +149,9 @@ def main() -> int:
         "meaningful here — the artifact proves the cross-process "
         "measurement chain (rendezvous, process-local input shards, "
         "collectives over DCN, psum-ablation attribution) that a pod "
-        "run reuses unchanged",
+        "run reuses unchanged; collective_ms is a LOWER bound (explicit "
+        "solver collectives only — SPMD-inserted chaining comms are not "
+        "ablated)",
         **rung,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -340,3 +340,73 @@ class TestAdaptiveInformation:
         ate_a, _ = metrics.ate(est_a, gt, align=False)
         ate_f, _ = metrics.ate(est_f, gt, align=False)
         assert ate_a < max(2.0 * ate_f, 0.1), (ate_a, ate_f)
+
+
+class TestHostileStream:
+    """Randomized hostile-stream fuzz (SURVEY §5.3 at stress scale): a
+    mission interleaved with teleports, garbage scans, and de-skew-mode
+    inputs must never produce NaN poses or silent counter corruption."""
+
+    def test_randomized_garbage_interleave(self):
+        from icpslam_tpu import cloud as pcl
+
+        cfg = slam_cfg()
+        world = synthetic.make_room_world(seed=7, n_points=8000)
+        gt = synthetic.make_loop_trajectory(n_poses=20, radius=5.0, laps=0.8)
+        scans = list(synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, n_points=800, seed=7))
+        rng = np.random.RandomState(7)
+
+        def garbage(kind):
+            if kind == 0:   # random noise ball
+                return pcl.from_points(
+                    rng.randn(500, 3).astype(np.float32) * 50,
+                    capacity=cfg.max_raw_points)
+            if kind == 1:   # inf coordinates
+                pts = rng.randn(200, 3).astype(np.float32)
+                pts[::5] = np.inf
+                return pcl.from_points(pts, capacity=cfg.max_raw_points)
+            if kind == 2:   # duplicate of an old scan (a stuck sensor)
+                return scans[0]
+            return pcl.from_points(   # single point
+                np.ones((1, 3), np.float32), capacity=cfg.max_raw_points)
+
+        step = jax.jit(slam.slam_step, static_argnums=(2,))
+        state = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
+        for i, scan in enumerate(scans):
+            state, out = step(state, scan, cfg)
+            assert bool(jnp.all(jnp.isfinite(state.slam_pose.t))), i
+            if i % 4 == 3:
+                state, out = step(state, garbage(rng.randint(4)), cfg)
+                assert bool(jnp.all(jnp.isfinite(state.slam_pose.t))), i
+                assert bool(jnp.all(jnp.isfinite(state.map_to_odom.t))), i
+        # counters remained coherent: monotone keyframes, no NaN costs
+        assert 0 < int(state.keyframes.count) <= cfg.max_keyframes
+        assert int(state.edges.count) <= cfg.max_edges
+
+    def test_garbage_with_coupled_deskew(self):
+        """The coupled skew solver registers RAW smeared clouds; hostile
+        input must fail its gates, not its numerics."""
+        from icpslam_tpu import cloud as pcl
+        from icpslam_tpu.pipeline import odometry
+
+        cfg = slam_cfg(deskew_rounds=1)  # coupled mode default
+        world = synthetic.make_room_world(seed=9, n_points=8000)
+        gt = synthetic.make_loop_trajectory(n_poses=6, radius=5.0, laps=0.3)
+        scans = list(synthetic.scan_stream(
+            world, gt, capacity=cfg.max_raw_points, n_points=800, seed=9))
+        nan_pts = np.asarray(scans[1].points)[:800].copy()
+        nan_pts[::3] = np.nan
+        stream = [
+            scans[0],
+            pcl.from_points(nan_pts, capacity=cfg.max_raw_points),
+            pcl.empty(cfg.max_raw_points),
+            scans[1],
+            scans[2],
+        ]
+        step = jax.jit(odometry.odometry_step, static_argnums=(2,))
+        st = odometry.init_state(cfg)
+        for i, scan in enumerate(stream):
+            st, out = step(st, scan, cfg)
+            assert bool(jnp.all(jnp.isfinite(st.pose.t))), i
+            assert bool(jnp.all(jnp.isfinite(out.transform.t))), i

@@ -118,6 +118,14 @@ class SlamConfig:
     # 0.34 — the azimuth-correlated pose/twist split needs a stiff
     # anchor everywhere except where the data truly demands a split)
     deskew_prior_weight: float = 100.0
+    # Huber scale (twist-norm units, m+rad mixed) for the free-twist
+    # relative prior: 0 (default) = plain quadratic; > 0 IRLS-downweights
+    # the prior once the twist deviates beyond the scale. Measured on the
+    # 500-pose physics proxy (weight 100): robustifying DESTABILIZES —
+    # delta 0.05 -> ATE 4.6, delta 0.3 -> see DESIGN §14 — the weakened
+    # prior feeds the azimuth-degeneracy runaway it exists to prevent.
+    # Kept as a knob with the negative result documented.
+    deskew_prior_huber: float = 0.0
     # coupled mode: free the SOURCE sweep twist as 6 extra unknowns with
     # a relative prior toward the solved transform, instead of tying it
     # by constant velocity — lifts the one modeling assumption left,

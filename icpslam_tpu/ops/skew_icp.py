@@ -65,6 +65,7 @@ def coupled_deskew_icp(
     target_valid_len: Optional[jnp.ndarray] = None,
     free_source_twist: bool = False,
     source_twist_prior_weight: float = 1.0,
+    prior_huber_delta: float = 0.0,
     want_hessian: bool = False,
 ):
     """6-DoF registration that de-skews BOTH sweeps with the very
@@ -219,16 +220,32 @@ def coupled_deskew_icp(
         if free_source_twist:
             # relative prior M_src → log(rel): residual (M − m), Jacobian
             # [−I | I] over (δrel, δM) — couples the two blocks so the
-            # azimuth-correlated near-degeneracy stays conditioned
+            # azimuth-correlated near-degeneracy stays conditioned.
+            # Optionally Huber-robust (prior_huber_delta > 0): full
+            # stiffness while the twist tracks the CV tie (straights —
+            # where the split is noise), IRLS-downweighted once the
+            # deviation is real (corner instants — where the data must
+            # win). The twist-norm units mix m and rad like the solver's
+            # own epsilon test.
             m = se3.se3_log(c.pose)
             rp = c.M - m
+            if prior_huber_delta > 0:
+                dev = jnp.linalg.norm(rp)
+                w_pr = jnp.where(
+                    dev <= prior_huber_delta,
+                    1.0,
+                    prior_huber_delta / jnp.maximum(dev, 1e-12),
+                )
+            else:
+                w_pr = 1.0
+            pw = prior_w * w_pr
             eye6 = jnp.eye(6, dtype=pts.dtype)
-            H = H.at[:6, :6].add(prior_w * eye6)
-            H = H.at[6:, 6:].add(prior_w * eye6)
-            H = H.at[:6, 6:].add(-prior_w * eye6)
-            H = H.at[6:, :6].add(-prior_w * eye6)
-            g = g.at[:6].add(-prior_w * rp)
-            g = g.at[6:].add(prior_w * rp)
+            H = H.at[:6, :6].add(pw * eye6)
+            H = H.at[6:, 6:].add(pw * eye6)
+            H = H.at[:6, 6:].add(-pw * eye6)
+            H = H.at[6:, :6].add(-pw * eye6)
+            g = g.at[:6].add(-pw * rp)
+            g = g.at[6:].add(pw * rp)
         H = H + 1e-6 * jnp.trace(H) / ndof * jnp.eye(ndof, dtype=pts.dtype)
         delta = -jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(H, lower=True), g

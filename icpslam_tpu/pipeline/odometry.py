@@ -240,6 +240,7 @@ def odometry_step(
                 target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
                 free_source_twist=config.deskew_free_twist,
                 source_twist_prior_weight=config.deskew_prior_weight,
+                prior_huber_delta=config.deskew_prior_huber,
                 want_hessian=config.adaptive_information,
             )
             accepted = res.converged & (res.fitness < icfg.fitness_threshold)
@@ -278,13 +279,16 @@ def odometry_step(
             points=jnp.where(filtered_s.mask[:, None], map_pts, 0.0),
             mask=filtered_s.mask,
         )
-        # the de-skewed output cloud needs covariances of ITS OWN
-        # neighborhoods (the warp moves points by up to ~0.8 m at range
-        # on fast corners — smeared-cloud normals would feed the mapping
-        # GICP wrong planes exactly where de-skew matters); the SKEWED
-        # `covs` stay with the skewed prev stash for the next coupled
-        # registration
-        out_covs = compute_covariances(filtered, icfg) if plane else covs
+        # The output cloud keeps the SKEWED cloud's covariances —
+        # deliberately, and measured: recomputing them on the de-skewed
+        # points is locally "correct" (500-pose RPE_t 0.070 vs 0.099)
+        # but globally WORSE (ATE 0.50 vs 0.33). The smeared-neighborhood
+        # covariances are elongated along exactly the directions the
+        # residual twist-estimate error lives in, so the mapping GICP's
+        # fused weighting (C_dst + R C_src Rᵀ)⁻¹ soft-gates the component
+        # of scan-to-map innovation that de-skew error contaminates — an
+        # uncertainty envelope the recomputed covariances destroy.
+        out_covs = covs
         stash_cloud, stash_u = filtered_s, u_f
     elif config.deskew_rounds > 0 and config.deskew_mode == "joint":
         # joint 12-DoF skew-aware registration (no INS, DESIGN §14): the

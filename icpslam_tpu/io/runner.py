@@ -619,6 +619,12 @@ def main(argv=None) -> int:
         "tying the sweep twist to its seed (config.deskew_prior_weight)",
     )
     ap.add_argument(
+        "--deskew-prior-huber", type=float, default=None,
+        help="(--deskew-free-twist) Huber scale for the twist prior "
+        "(config.deskew_prior_huber; 0 = quadratic — the measured "
+        "default, see DESIGN §14's negative result)",
+    )
+    ap.add_argument(
         "--deskew-free-twist", action="store_true",
         help="(--deskew-mode coupled) free the source sweep twist as 6 "
         "extra unknowns with a relative prior toward the solved "
@@ -831,6 +837,8 @@ def main(argv=None) -> int:
         cfg = cfg.replace(deskew_free_twist=True)
     if args.deskew_prior_weight is not None:
         cfg = cfg.replace(deskew_prior_weight=args.deskew_prior_weight)
+    if args.deskew_prior_huber is not None:
+        cfg = cfg.replace(deskew_prior_huber=args.deskew_prior_huber)
 
     backend = None
     post_step = None

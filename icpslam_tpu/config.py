@@ -281,6 +281,26 @@ class SlamConfig:
     wheel_odom_pose_gate: float = 0.1  # POSE_DIST_THRESH, robot_odometer.h:40
     enable_wheel_odom_edges: bool = False  # dead code in reference; optional here
 
+    # what a FULL keyframe store does with a new keyframe:
+    # 'marginalize' (default) — evict the most redundant frozen keyframe
+    #   first (graph/marginalize.py): its edges are re-homed to its
+    #   predecessor with covariance-correct SE(3) composition, so the
+    #   graph keeps its information while the slot is reused. Missions
+    #   outlive max_keyframes — new nodes and loop closures keep coming
+    #   forever (the static-shape answer to the reference's unbounded
+    #   std::vector growth, icpslam.cpp:88). Evictions are counted in
+    #   KeyframeStore.evictions.
+    # 'none' — the pre-r5 hard stop: the store freezes at capacity (no
+    #   new nodes or loop closures; tracking continues on odometry +
+    #   scan-to-map).
+    keyframe_eviction: str = "marginalize"
+    # never evict the gauge anchor (node 0) or the last N live keyframes
+    # (the active odometry/loop-closure trail)
+    keyframe_protect_recent: int = 8
+    # redundancy-score penalty (meters) per incident loop edge — loop
+    # anchors carry global information and are kept unless very redundant
+    keyframe_loop_edge_penalty: float = 10.0
+
     # --- static capacities (TPU padded shapes) ---
     max_points: int = 8192            # downsampled points per scan
     max_raw_points: int = 131072      # raw scan capacity before voxel filter

@@ -32,6 +32,8 @@ class KeyframeStore(NamedTuple):
     #                        (pose6DOF.h:15-126) and publishes with
     #                        odometry (messaging_utils.cpp:26-49)
     count: jnp.ndarray     # int32 number of live keyframes
+    evictions: jnp.ndarray  # int32 keyframes marginalized out at capacity
+    #                         (graph/marginalize.py) — counted, never silent
 
     @property
     def capacity(self) -> int:
@@ -52,6 +54,7 @@ def empty(capacity: int, cloud_capacity: int, dtype=jnp.float32) -> KeyframeStor
         point_mask=jnp.zeros((capacity, cloud_capacity), bool),
         cov=jnp.zeros((capacity, 6, 6), dtype),
         count=jnp.asarray(0, jnp.int32),
+        evictions=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -85,6 +88,7 @@ def add(
         point_mask=upd(store.point_mask, cloud.mask),
         cov=upd(store.cov, cov),
         count=jnp.where(full, store.count, store.count + 1),
+        evictions=store.evictions,
     )
     return new, idx
 

@@ -140,7 +140,17 @@ def directory_stream(
                 # <= watermark): those can never be re-yielded. Names
                 # without a parseable stamp must stay pinned — the name
                 # set is their only duplicate guard.
-                if n_evicted == 0:
+                evicted_this_pass = 0
+                for old in list(seen)[: _SEEN_LIMIT // 2]:
+                    so = _name_stamp(old)
+                    if so is not None and so <= watermark:
+                        del seen[old]
+                        evicted_this_pass += 1
+                # announce the policy only when a pass actually deleted
+                # entries (a pass can evict nothing — unparseable names,
+                # stamps above the watermark — and must not spam the
+                # notice; ADVICE r4)
+                if evicted_this_pass and n_evicted == 0:
                     logger.info(
                         "live ingest: bookkeeping eviction active — "
                         f".bin names with stamp <= {watermark:.6f} (and "
@@ -148,11 +158,7 @@ def directory_stream(
                         "be re-ingested; producers should delete or "
                         "stamp-order their files"
                     )
-                for old in list(seen)[: _SEEN_LIMIT // 2]:
-                    so = _name_stamp(old)
-                    if so is not None and so <= watermark:
-                        del seen[old]
-                        n_evicted += 1
+                n_evicted += evicted_this_pass
             full = os.path.join(path, f)
             if use_native:
                 cloud = native_loader.read_scan(

@@ -57,6 +57,9 @@ class RefineResult(NamedTuple):
     hessian: jnp.ndarray      # (6, 6) final GN Hessian of the accepted
     #                           registration (zeros unless
     #                           config.adaptive_information and success)
+    icp_iterations: jnp.ndarray = None  # int32 iterations the round-1
+    #                           registration actually ran (early-exit
+    #                           observability — the mapper budget is 30)
 
 
 def _rotate_covs(covs6: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
@@ -131,6 +134,7 @@ def refine_and_grow(
             nn_points=jnp.zeros((scan.capacity, 3), jnp.float32),
             nn_mask=jnp.zeros((scan.capacity,), bool),
             hessian=jnp.zeros((6, 6), jnp.float32),
+            icp_iterations=jnp.asarray(0, jnp.int32),
         )
 
     def refine(_):
@@ -302,6 +306,7 @@ def refine_and_grow(
             nn_points=nn_robot.points,
             nn_mask=nn_robot.mask,
             hessian=hess * success.astype(jnp.float32),
+            icp_iterations=icp_res.iterations,
         )
 
     return jax.lax.cond(map_empty, seed, refine, operand=None)

@@ -216,7 +216,6 @@ def coupled_deskew_icp(
         WJ = jnp.einsum("nab,nbk->nak", W, J)
         H = jnp.einsum("nak,nal,n->kl", J, WJ, w)
         g = jnp.einsum("nak,na,n->k", WJ, r, w)
-        H6 = H[:6, :6]  # data-only pose information (before priors)
         if free_source_twist:
             # relative prior M_src → log(rel): residual (M − m), Jacobian
             # [−I | I] over (δrel, δM) — couples the two blocks so the
@@ -246,6 +245,22 @@ def coupled_deskew_icp(
             H = H.at[6:, :6].add(-pw * eye6)
             g = g.at[:6].add(-pw * rp)
             g = g.at[6:].add(pw * rp)
+        if free_source_twist:
+            # pose information = Schur complement H_pp − H_pm H_mm⁻¹ H_mp
+            # of the freed twist block (prior included in H_mm). The raw
+            # H[:6,:6] data block overstates pose information exactly
+            # where the azimuth-correlated pose/twist near-degeneracy
+            # lives — the case this mode targets (ADVICE r4). A pure
+            # relative prior Schur-eliminates to zero absolute pose
+            # information, as it must.
+            Hmm = H[6:, 6:]
+            ridge = 1e-6 * jnp.trace(Hmm) / 6.0 + 1e-12
+            Hmm_i = jnp.linalg.inv(
+                Hmm + ridge * jnp.eye(6, dtype=pts.dtype)
+            )
+            H6 = H[:6, :6] - H[:6, 6:] @ Hmm_i @ H[6:, :6]
+        else:
+            H6 = H[:6, :6]  # data-only pose information
         H = H + 1e-6 * jnp.trace(H) / ndof * jnp.eye(ndof, dtype=pts.dtype)
         delta = -jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(H, lower=True), g

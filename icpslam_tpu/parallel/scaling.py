@@ -178,7 +178,9 @@ def measure_scaling(
         # NOTE: SPMD-inserted communication (the trajectory chaining's
         # sharded associative scan, output replication) is NOT ablated,
         # so collective_ms is a LOWER bound on true communication time;
-        # the dominant solver psums/all_gathers are all covered.
+        # the explicit collectives — the solver psums/all_gathers AND the
+        # sharded-map NN pmin/psum reduce (sharded_map.approx_nn, routed
+        # through the same shim since r5) — are all covered.
         step_abl = None
         try:
             dist_graph.ABLATE_COLLECTIVES = True

@@ -105,19 +105,28 @@ def approx_nn(
         out_specs=(P(), P(), P()),
     )
     def run(local_map, pts, msk):
+        # the NN reduce routes through dist_graph's ablation shim so the
+        # scaling harness's comm-vs-compute attribution covers the map
+        # collectives too, not just the solver's (ADVICE r4)
+        from icpslam_tpu.parallel import dist_graph as dg
+
+        def pmin(x):
+            return x if dg.ABLATE_COLLECTIVES else jax.lax.pmin(x, axis)
+
+        def psum(x):
+            return x if dg.ABLATE_COLLECTIVES else jax.lax.psum(x, axis)
+
         local_map = jax.tree_util.tree_map(lambda x: x[0], local_map)
         res = vm.approx_nn(local_map, pts, msk, resolution, radius=radius)
         dev = jax.lax.axis_index(axis)
         # global best distance; lowest device id wins ties
-        best_d2 = jax.lax.pmin(res.dist2, axis)
+        best_d2 = pmin(res.dist2)
         is_winner = (res.dist2 == best_d2) & res.found
         ndev = jax.lax.axis_size(axis)
-        win_dev = jax.lax.pmin(jnp.where(is_winner, dev, ndev), axis)
+        win_dev = pmin(jnp.where(is_winner, dev, ndev))
         final = is_winner & (dev == win_dev)
-        pts_out = jax.lax.psum(
-            jnp.where(final[:, None], res.points, 0.0), axis
-        )
-        found = jax.lax.psum(final.astype(jnp.int32), axis) > 0
+        pts_out = psum(jnp.where(final[:, None], res.points, 0.0))
+        found = psum(final.astype(jnp.int32)) > 0
         return pts_out, best_d2, found
 
     pts_out, d2, found = run(smap, points, mask)

@@ -533,8 +533,10 @@ def slam_step(
     # a keyframe requires a real scan: bootstrap scan counts for the first one
     scan_ready = state.odom.initialized
     want_kf = scan_ready & (first_kf | (oout.accepted & (moved > config.keyframe_distance)))
-    room = state.keyframes.count < state.keyframes.capacity
-    want_kf = want_kf & room
+    if config.keyframe_eviction == "none":
+        # pre-r5 hard stop: the store freezes at capacity
+        room = state.keyframes.count < state.keyframes.capacity
+        want_kf = want_kf & room
 
     # sequential-edge information: ICP-derived (scan-to-map Hessian when
     # the refinement succeeded, odometry Hessian otherwise) or the
@@ -548,18 +550,47 @@ def slam_step(
     pose_cov = jnp.linalg.inv(seq_info + 1e-6 * jnp.eye(6))
 
     def add_keyframe(_):
-        node_pose = se3.normalize(se3.compose(state.map_to_odom, slam_pose))
-        prev_idx = jnp.maximum(state.keyframes.count - 1, 0)
-        prev_odom = kf.latest_odom(state.keyframes)
+        # at capacity: marginalize the most redundant frozen keyframe out
+        # first (graph/marginalize.py) so the mission outlives
+        # max_keyframes — the static-shape answer to the reference's
+        # unbounded keyframe vector (``icpslam.cpp:88``)
+        base = state
+        if config.keyframe_eviction == "marginalize":
+            from icpslam_tpu.graph import marginalize as marg
+
+            if config.max_keyframes <= config.keyframe_protect_recent + 1:
+                raise ValueError(
+                    "keyframe_eviction='marginalize' needs max_keyframes > "
+                    "keyframe_protect_recent + 1"
+                )
+
+            def evict(st):
+                victim = marg.select_victim(
+                    st.keyframes, st.edges,
+                    protect_recent=config.keyframe_protect_recent,
+                    loop_edge_penalty=config.keyframe_loop_edge_penalty,
+                )
+                ks, es = marg.marginalize_keyframe(
+                    st.keyframes, st.edges, victim
+                )
+                return st._replace(keyframes=ks, edges=es)
+
+            base = jax.lax.cond(
+                state.keyframes.count >= state.keyframes.capacity,
+                evict, lambda st: st, state,
+            )
+        node_pose = se3.normalize(se3.compose(base.map_to_odom, slam_pose))
+        prev_idx = jnp.maximum(base.keyframes.count - 1, 0)
+        prev_odom = kf.latest_odom(base.keyframes)
         store2, new_idx = kf.add(
-            state.keyframes, slam_pose, node_pose, oout.filtered, state.stamp,
+            base.keyframes, slam_pose, node_pose, oout.filtered, base.stamp,
             cov=pose_cov,
         )
         # sequential edge from odometry (``:82-84``), skipped for the first kf
         rel = se3.relative(prev_odom, slam_pose)
-        not_first = state.keyframes.count > 0
+        not_first = base.keyframes.count > 0
         edges2 = pg.add_edge(
-            state.edges,
+            base.edges,
             prev_idx,
             new_idx,
             rel,
@@ -583,12 +614,12 @@ def slam_step(
                 _information(config.odometry_information),
                 enable=wheel_ok,
             )
-        st = state._replace(
+        st = base._replace(
             keyframes=store2,
             edges=edges2,
-            kf_since_opt=state.kf_since_opt + 1,
-            wheel_at_last_kf=state.robot_odom.pose,
-            wheel_kf_valid=state.robot_odom.initialized,
+            kf_since_opt=base.kf_since_opt + 1,
+            wheel_at_last_kf=base.robot_odom.pose,
+            wheel_kf_valid=base.robot_odom.initialized,
         )
         # loop closure proposal for this keyframe (lc = edges added, every
         # verified candidate counts — ADVICE r2: any_ok undercounted)

@@ -39,14 +39,28 @@ def save(path: str, tree: Any) -> None:
 
 def load(path: str, template: Any) -> Any:
     """Load a pytree saved with ``save``; ``template`` (e.g.
-    ``slam.init_state(config)``) provides the structure and dtypes."""
+    ``slam.init_state(config)``) provides the structure and dtypes.
+
+    Forward compatibility: a leaf present in the template but absent from
+    the checkpoint (a state field added after the checkpoint was written,
+    e.g. ``KeyframeStore.evictions`` in r5 or ``cov`` in r4) is defaulted
+    from the template with a warning instead of failing — old endurance /
+    resume artifacts stay loadable across format growth (ADVICE r4).
+    """
+    import warnings
+
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for keypath, tleaf in flat:
         key = jax.tree_util.keystr(keypath)
         if key not in data:
-            raise KeyError(f"checkpoint missing leaf {key}")
+            warnings.warn(
+                f"checkpoint {path} predates state leaf {key}; "
+                "defaulting it from the template"
+            )
+            leaves.append(jnp.asarray(tleaf))
+            continue
         arr = data[key]
         texp = np.asarray(tleaf)
         if arr.shape != texp.shape:

@@ -97,17 +97,27 @@ def bench_full_slam(jax, cfg, scans, gt, donate: bool = False):
         kw["donate_argnums"] = (0,)
     step = jax.jit(slam.slam_step, **kw)
     # committed state avoids a second compile (committed-ness is cache-key)
-    state = jax.device_put(slam.init_state(cfg, se3.index(gt, 0)), jax.devices()[0])
+    state0 = jax.device_put(slam.init_state(cfg, se3.index(gt, 0)), jax.devices()[0])
     n_warm = min(3, len(scans) - 1)
+    state = state0
     for i in range(n_warm):
         state, out = step(state, scans[i], cfg)
     jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for i in range(n_warm, len(scans)):
-        state, out = step(state, scans[i], cfg)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-    return (len(scans) - n_warm) / dt
+    # median of 3 full passes with the spread reported (VERDICT r4 weak
+    # #3: a single pass over the noisy tunnel left r3→r4 drift
+    # unattributable). Each pass replays the same varied-input stream
+    # from the same warm state.
+    runs = []
+    for _ in range(3):
+        st = state
+        t0 = time.perf_counter()
+        for i in range(n_warm, len(scans)):
+            st, out = step(st, scans[i], cfg)
+        jax.block_until_ready(st)
+        runs.append((len(scans) - n_warm) / (time.perf_counter() - t0))
+    runs.sort()
+    return runs[1], {"min": round(runs[0], 3), "median": round(runs[1], 3),
+                     "max": round(runs[2], 3)}
 
 
 def _prefill_graph(jax, state, cfg, n_fill):
@@ -361,8 +371,13 @@ def bench_stages(jax, np, cfg, scans, gt):
     # jitted stage closure: an eager icp call would dispatch hundreds of
     # individual ops over the tunneled backend.
     one_icp = reg(pairs[0])
+    one_ref = refine(rargs[1])
     meta = {
         "odo_iterations": float(one_icp.iterations),
+        # MEASURED mapping-GN iterations (r5): the epsilon exit fires at
+        # 2-3 of the 30-iteration budget — the r4 roofline's "30.0 fixed
+        # iters" was the config assumption, not a measurement
+        "map_iterations": float(one_ref.icp_iterations),
         "map_fill": int(jnp.sum(st.size)),
     }
     return out, meta
@@ -478,13 +493,14 @@ def main() -> int:
     # aliasing with INVALID_ARGUMENT *and* poisons the client — every
     # subsequent op in the process fails — so there is no safe in-process
     # fallback. (State copies are HBM-cheap; measured no win available.)
-    sps = bench_full_slam(jax, cfg, scans, gt, donate=args.donate)
+    sps, spread = bench_full_slam(jax, cfg, scans, gt, donate=args.donate)
 
     ref_sps = measure_reference()
     baseline = ref_sps if ref_sps else REFERENCE_SCANS_PER_SEC
     result = {
         "metric": "full_slam_step_scans_per_sec",
         "value": round(sps, 3),
+        "spread": spread,  # min/median/max of 3 passes (tunnel noise bars)
         "unit": "scans/s (voxel+GICP odometry+scan-to-map+keyframes+graph)",
         "vs_baseline": round(sps / baseline, 3),
         "baseline_scans_per_sec": round(baseline, 3),
@@ -511,7 +527,7 @@ def main() -> int:
             n_points=cfg.max_points,
             covariance_knn=cfg.icp_odometry.covariance_knn,
             odo_iterations=max(stage_meta["odo_iterations"], 1.0),
-            map_iterations=float(cfg.icp_mapping.max_iterations),
+            map_iterations=max(stage_meta["map_iterations"], 1.0),
             map_fill=max(stage_meta["map_fill"], cfg.max_points),
             plane=cfg.icp_odometry.mode == "plane",
             mapping_fixed_corr=cfg.mapping_fixed_correspondences,

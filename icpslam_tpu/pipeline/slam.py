@@ -381,7 +381,16 @@ def _optimize(
                 mode=config.graph_solver,
             )
 
-        opt_nodes, stats = jax.lax.cond(state.lc_since_opt > 0, full, window, state)
+        # young graphs (count <= window) route through the FULL solve: the
+        # window solve is numerically identical there but always pays a
+        # dense 6W x 6W factorization, while the bucketed full solve
+        # solves at the live size (measured +0.8 ms/scan at bench scale,
+        # r5 probe_step_budget). Late-mission (count > window) keeps the
+        # incremental window solve between loop closures.
+        use_full = (state.lc_since_opt > 0) | (
+            store.count <= config.graph_window
+        )
+        opt_nodes, stats = jax.lax.cond(use_full, full, window, state)
     else:
         opt_nodes, stats = _full_solve(state, config, mesh)
     new_store = kf.set_graph_poses(store, opt_nodes)

@@ -11,6 +11,8 @@ import textwrap
 
 import pytest
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 WORKER = textwrap.dedent(
     """
     import os, sys
@@ -225,3 +227,28 @@ def test_initialize_explicit_failure_raises():
             )
         finally:
             os.environ.pop("JAX_COORDINATOR_INIT_TIMEOUT_SECS", None)
+
+
+class TestElasticRecovery:
+    """Multi-host elastic recovery (SURVEY §5.3's last plan line): a
+    worker killed mid-run is detected by the driver (exact-PID poll +
+    hang watchdog) and the workload re-dispatches single-process with a
+    degraded-mode artifact."""
+
+    def test_fault_injected_crash_recovers_degraded(self, tmp_path):
+        import json
+        import subprocess
+        import sys as _sys
+
+        out = str(tmp_path / "elastic.json")
+        proc = subprocess.run(
+            [_sys.executable, os.path.join(REPO, "tools", "elastic_dcn.py"),
+             "--inject-fault", "crash", "--watchdog", "45", "--out", out],
+            capture_output=True, text=True, timeout=800,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        art = json.load(open(out))
+        assert art["degraded"] is True
+        assert "died" in art["failure"]
+        assert art["redispatch"]["mode"] == "single_process_degraded"
+        assert art["redispatch"]["step_ms"] > 0

@@ -134,6 +134,15 @@ def _stack_clouds(clouds: List[pc.PointCloud]) -> pc.PointCloud:
     return jax.tree_util.tree_map(lambda *x: jax.numpy.stack(x), *clouds)
 
 
+@jax.jit
+def _write_rec(buf, rec, i):
+    """On-device per-scan record accumulator (module-level jit: ONE
+    executable shared across runs — a per-run closure would recompile,
+    CLAUDE.md). The step's packed output is consumed immediately, so the
+    host never retains per-scan device handles."""
+    return buf.at[i].set(rec)
+
+
 def _dump_debug_scan(
     debug_dir: str, i: int, out: slam.SlamOutput, reason: str
 ) -> None:
@@ -325,44 +334,36 @@ def run_slam(
     # transfer at the end. verbosity >= 2 keeps the synchronous per-scan
     # path (live debug logging needs the values now).
     sync_metrics = config.verbosity >= 2
-    packed_recs = []
-    # per-block consolidation: poses and packed metric vectors are
-    # stacked on-device in FIXED 64-wide blocks (partial blocks padded
-    # with their last element so every stack reuses one compiled
-    # executable) and fetched to numpy at the sync boundary where the
-    # loop is already blocked. The previous designs both lost: a single
-    # final jnp.stack over N thousand operands cost tens of seconds of
-    # trace+compile at mission scale, and unpadded per-block stacks left
-    # a trail of odd-shaped eager compiles over the tunneled backend
-    # (measured 15 s of trailing time at 500 scans).
+    # Per-scan bookkeeping accumulates ON DEVICE: each step's ``packed``
+    # (18,) record (packed inside the jit) is written into a rolling
+    # (64, 18) device buffer by a tiny jitted writer — one extra async
+    # dispatch per scan, ZERO retained handles — and the buffer is
+    # fetched with ONE transfer at the sync boundary where the loop is
+    # already blocked. Every host-side alternative measured pathological
+    # on the tunneled backend: per-scan eager stacks of scalar outputs
+    # ~16 ms/scan of remote-handle marshaling, one end-of-run stack over
+    # N-thousand operands tens of seconds of trace+compile, and even a
+    # per-block stack over 64 retained step-output handles ~1-8 s per
+    # block (each operand materializes with its own tunnel roundtrip).
     _BLK = 64
-    pose_blocks: List[tuple] = []   # (t (n,3), q (n,4)) numpy per block
-    rec_blocks: List[np.ndarray] = []
+    recbuf = jax.device_put(jnp.zeros((_BLK, 18), jnp.float32), device)
+    n_in_buf = 0
+    rec_blocks: List[np.ndarray] = []  # (n, 18) numpy per block
 
     def consolidate():
-        nonlocal poses, packed_recs
-        if poses:
-            n = len(poses)
-            buf = poses + [poses[-1]] * (_BLK - n)
-            blk = se3.stack(buf)
-            pose_blocks.append(
-                (np.asarray(blk.t)[:n], np.asarray(blk.q)[:n])
-            )
-            poses = []
-        if packed_recs:
-            n = len(packed_recs)
-            buf = packed_recs + [packed_recs[-1]] * (_BLK - n)
-            rec_blocks.append(np.asarray(jnp.stack(buf))[:n])
-            packed_recs = []
+        nonlocal n_in_buf
+        if n_in_buf:
+            rec_blocks.append(np.asarray(recbuf)[:n_in_buf])
+            n_in_buf = 0
 
     def traj_so_far() -> Pose:
         consolidate()
-        if not pose_blocks:
+        if not rec_blocks:
             return se3.identity((0,))
-        return Pose(
-            t=np.concatenate([b[0] for b in pose_blocks]),
-            q=np.concatenate([b[1] for b in pose_blocks]),
+        arr = (
+            np.concatenate(rec_blocks) if len(rec_blocks) > 1 else rec_blocks[0]
         )
+        return Pose(t=arr[:, :3], q=arr[:, 3:7])
 
     t_block = time.perf_counter()
     setup_ms = (t_block - t0) * 1000.0
@@ -373,7 +374,8 @@ def run_slam(
             state, out = step(state, scan, config)
         else:
             state, out = step(state, scan, config, stamp)
-        poses.append(out.pose_map)
+        recbuf = _write_rec(recbuf, out.packed, n_in_buf)
+        n_in_buf += 1
         if debug_dir is not None and n_dumps < debug_max_dumps:
             # debug mode syncs per scan by construction (the gates must be
             # read to decide); this is a debugging tool, not the hot path
@@ -418,22 +420,6 @@ def run_slam(
                     f"scan {i}: optimized graph ({rec['num_keyframes']} "
                     f"keyframes, cost {float(out.graph_cost):.4f})"
                 )
-        else:
-            packed_recs.append(
-                jnp.stack([
-                    out.odom_out.accepted.astype(jnp.float32),
-                    out.odom_out.fitness,
-                    out.odom_out.num_correspondences.astype(jnp.float32),
-                    out.odom_out.iterations.astype(jnp.float32),
-                    out.refined.astype(jnp.float32),
-                    out.new_keyframe.astype(jnp.float32),
-                    out.loop_closure.astype(jnp.float32),
-                    out.optimized.astype(jnp.float32),
-                    out.map_size.astype(jnp.float32),
-                    out.num_keyframes.astype(jnp.float32),
-                    out.graph_cost,
-                ])
-            )
         if post_step is not None:
             state = post_step(state)
         if snapshot_every and snapshot_fn is not None and (i + 1) % snapshot_every == 0:
@@ -478,19 +464,20 @@ def run_slam(
     if not sync_metrics and rec_blocks:
         allrec = np.concatenate(rec_blocks)  # already host-side per block
         for i, r in enumerate(allrec):
+            # layout: SlamOutput.packed (pipeline/slam.py)
             per_scan.append({
                 "scan": i,
-                "accepted": bool(r[0]),
-                "fitness": float(r[1]),
-                "correspondences": int(r[2]),
-                "icp_iterations": int(r[3]),
-                "refined": bool(r[4]),
-                "new_keyframe": bool(r[5]),
-                "loop_closure": int(r[6]),
-                "optimized": bool(r[7]),
-                "graph_cost": float(r[10]),
-                "map_size": int(r[8]),
-                "num_keyframes": int(r[9]),
+                "accepted": bool(r[7]),
+                "fitness": float(r[8]),
+                "correspondences": int(r[9]),
+                "icp_iterations": int(r[10]),
+                "refined": bool(r[11]),
+                "new_keyframe": bool(r[12]),
+                "loop_closure": int(r[13]),
+                "optimized": bool(r[14]),
+                "map_size": int(r[15]),
+                "num_keyframes": int(r[16]),
+                "graph_cost": float(r[17]),
             })
     traj = traj_so_far()
     wall = time.perf_counter() - t0
@@ -724,9 +711,10 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--deskew-auto-prior", choices=["on", "off"], default=None,
-        help="(--deskew-free-twist) gate the twist-prior stiffness on the "
-        "last transform's rotation: stiff on straights, corner weight in "
-        "turns (config.deskew_auto_prior; default on)",
+        help="(--deskew-free-twist) latched in-loop gate: stiff twist "
+        "prior on straights, corner weight once a turn is detected in "
+        "the solve (config.deskew_auto_prior; default OFF — measured "
+        "divergent at mission scale, DESIGN §18)",
     )
     ap.add_argument(
         "--keyframe-eviction", choices=["marginalize", "none"], default=None,
@@ -940,16 +928,16 @@ def main(argv=None) -> int:
     ):
         # velodyne operating point (VERDICT r4 weak #4): physics-proxy
         # sweeps are motion-smeared, so the no-INS coupled de-skew with
-        # the freed twist + auto prior is the DEFAULT — no flags needed
-        # (measured: 500-pose corner 0.38 m vs 7.78 raw; 60-pose gentle
-        # 0.018). --deskew-rounds 0 restores raw smeared ingestion;
-        # --deskew switches to the INS-measured path. Real --kitti
-        # odometry clouds arrive motion-compensated, so this default is
+        # the freed twist (fixed w=100 prior — the measured all-regime
+        # robust setting, DESIGN §18) is the DEFAULT — no flags needed
+        # (500-pose corner 0.33 m vs 7.78 raw; 2000-scan tree 0.54).
+        # --deskew-rounds 0 restores raw smeared ingestion; --deskew
+        # switches to the INS-measured path. Real --kitti odometry
+        # clouds arrive motion-compensated, so this default is
         # proxy-physics-only.
         cfg = cfg.replace(deskew_rounds=1, deskew_free_twist=True)
         log.info("physics proxy: no-INS de-skew on by default "
-                 "(coupled free-twist, auto prior; --deskew-rounds 0 "
-                 "to disable)")
+                 "(coupled free-twist; --deskew-rounds 0 to disable)")
     if args.adaptive_information:
         cfg = cfg.replace(adaptive_information=True)
     if args.keyframe_eviction is not None:

@@ -66,6 +66,7 @@ def coupled_deskew_icp(
     free_source_twist: bool = False,
     source_twist_prior_weight: float = 1.0,
     prior_huber_delta: float = 0.0,
+    auto_prior: tuple | None = None,
     want_hessian: bool = False,
 ):
     """6-DoF registration that de-skews BOTH sweeps with the very
@@ -133,13 +134,44 @@ def coupled_deskew_icp(
         corr: jnp.ndarray
         H6: jnp.ndarray       # (6, 6) pose block of the data GN Hessian
         #                       (edge-information source, ops/icp.py parity)
+        relaxed: jnp.ndarray  # bool: auto-prior latch — once a turn is
+        #                       detected in this solve the prior STAYS at
+        #                       the corner weight (a two-way gate was
+        #                       measured to oscillate the GN: the iterate
+        #                       crossing the threshold flips the
+        #                       objective, the solution jumps back, and
+        #                       long missions diverge — 2000-scan tree
+        #                       ATE 520 two-way vs 0.5 latched)
 
     ndof = 12 if free_source_twist else 6
-    prior_w = jnp.asarray(
-        source_twist_prior_weight
-        * jnp.maximum(jnp.sum(source.mask), 1.0) / 1000.0,
-        pts.dtype,
-    )
+    _n_scale = jnp.maximum(jnp.sum(source.mask), 1.0) / 1000.0
+
+    def _turning(pose: Pose) -> jnp.ndarray:
+        if auto_prior is None:
+            return jnp.asarray(False)
+        _, _, thresh = auto_prior
+        return jnp.linalg.norm(se3.so3_log(pose.q)) > thresh
+
+    def prior_weight(relaxed: jnp.ndarray) -> jnp.ndarray:
+        """Prior information under the auto latch.
+
+        The gate lives INSIDE the registration on the current pose
+        iterate — lag-free: even under a stiff prior the 6-DoF pose is
+        unconstrained, so a corner shows up in the estimate within 1-2
+        GN iterations and the prior relaxes for the remaining iterations
+        of the SAME solve. (Gating on the *last accepted* transform
+        instead lagged corner entries and diverged long corner-heavy
+        missions: 2000-scan tree ATE 14.3 vs 0.54 fixed.) Relaxation
+        latches for the rest of the solve; the latch's failure mode is
+        the fixed corner weight — the safe all-regime setting.
+        """
+        if auto_prior is None:
+            w = jnp.asarray(source_twist_prior_weight, pts.dtype)
+        else:
+            w_straight, w_turn, _ = auto_prior
+            w = jnp.where(relaxed, w_turn, w_straight).astype(pts.dtype)
+        return w * _n_scale
+
 
     def warp_exact(p, u, pose):
         """Exact sweep warp R_axis(u·θ)·p + u·t — matches the sensor's
@@ -237,7 +269,7 @@ def coupled_deskew_icp(
                 )
             else:
                 w_pr = 1.0
-            pw = prior_w * w_pr
+            pw = prior_weight(c.relaxed) * w_pr
             eye6 = jnp.eye(6, dtype=pts.dtype)
             H = H.at[:6, :6].add(pw * eye6)
             H = H.at[6:, 6:].add(pw * eye6)
@@ -274,6 +306,7 @@ def coupled_deskew_icp(
         return Carry(
             pose=new_pose, M=new_M, it=c.it + 1,
             delta=jnp.linalg.norm(delta), d2=d2, corr=corr, H6=H6,
+            relaxed=c.relaxed | _turning(new_pose),
         )
 
     def cond(c: Carry):
@@ -289,6 +322,8 @@ def coupled_deskew_icp(
         d2=jnp.full((N,), jnp.inf, pts.dtype),
         corr=jnp.zeros((N,), bool),
         H6=jnp.zeros((6, 6), pts.dtype),
+        # entering with a turning CV seed starts relaxed
+        relaxed=_turning(init),
     )
     final = jax.lax.while_loop(cond, step, c0)
 

@@ -227,22 +227,20 @@ def odometry_step(
         filtered_s, num_voxels, covs = filter_and_covs(raw_scan)  # skewed
         u_f = deskew_ops.sweep_fraction(filtered_s.points)
 
-        # auto prior stiffness: a straight segment (no recent rotation)
-        # keeps the twist near-tied to the solved transform — measured
-        # best there — while a detected turn relaxes to the corner-tuned
-        # weight so the data can split pose from sweep twist. The signal
-        # is causal (last ACCEPTED transform), so only a turn's very
-        # first scan sees the stiff prior (≈ the CV tie it would have
-        # had anyway).
-        if config.deskew_free_twist and config.deskew_auto_prior:
-            omega = jnp.linalg.norm(se3.so3_log(state.last_transform.q))
-            prior_weight = jnp.where(
-                omega > config.deskew_auto_turn_threshold,
-                config.deskew_prior_weight,
-                config.deskew_auto_straight_weight,
-            )
-        else:
-            prior_weight = config.deskew_prior_weight
+        # auto prior stiffness: straight segments keep the twist stiffly
+        # tied toward the solved transform (measured best there) while
+        # turns relax to the corner-tuned weight. The gate lives INSIDE
+        # the registration on the current pose iterate (lag-free —
+        # ops/skew_icp.prior_weight_at); gating on the last accepted
+        # transform instead lagged corner entries and diverged long
+        # missions (DESIGN §18).
+        auto_prior = (
+            (config.deskew_auto_straight_weight,
+             config.deskew_prior_weight,
+             config.deskew_auto_turn_threshold)
+            if (config.deskew_free_twist and config.deskew_auto_prior)
+            else None
+        )
 
         def register_coupled(_):
             res = skew_icp.coupled_deskew_icp(
@@ -256,8 +254,9 @@ def odometry_step(
                 target_covs=state.prev_covs if plane else None,
                 target_valid_len=jnp.sum(state.prev_cloud.mask.astype(jnp.int32)),
                 free_source_twist=config.deskew_free_twist,
-                source_twist_prior_weight=prior_weight,
+                source_twist_prior_weight=config.deskew_prior_weight,
                 prior_huber_delta=config.deskew_prior_huber,
+                auto_prior=auto_prior,
                 want_hessian=config.adaptive_information,
             )
             accepted = res.converged & (res.fitness < icfg.fitness_threshold)

@@ -85,6 +85,14 @@ class SlamOutput(NamedTuple):
     pose_cov: jnp.ndarray = None  # (6, 6) measurement covariance of this
     # scan's registration (inverse edge information; the covariance the
     # reference publishes with odometry, messaging_utils.cpp:26-49)
+    packed: jnp.ndarray = None  # (18,) float32 [pose.t(3) | pose.q(4) |
+    # accepted, fitness, n_corr, icp_iters, refined, new_keyframe,
+    # loop_closure, optimized, map_size, num_keyframes, graph_cost] —
+    # the per-scan record as ONE device array, packed inside the jit.
+    # Streaming hosts retain just this handle per scan: any host-side
+    # packing of the individual scalar outputs costs an eager op over
+    # many tiny remote buffers per scan, which on a tunneled PJRT
+    # backend measured ~16 ms/scan of pure marshaling (io/runner.py r5)
     debug: Optional[DebugInfo] = None  # only with config.collect_debug
 
 
@@ -669,6 +677,15 @@ def slam_step(
     state, opt_cost = jax.lax.cond(do_opt, with_opt, no_opt, state)
 
     pose_map = se3.normalize(se3.compose(state.map_to_odom, state.slam_pose))
+    f32 = lambda x: jnp.asarray(x, jnp.float32).reshape(-1)
+    packed = jnp.concatenate([
+        f32(pose_map.t), f32(pose_map.q),
+        f32(oout.accepted), f32(oout.fitness),
+        f32(oout.num_correspondences), f32(oout.iterations),
+        f32(refined), f32(want_kf), f32(loop_added), f32(do_opt),
+        f32(map_backend.total_size(state.map)),
+        f32(state.keyframes.count), f32(opt_cost),
+    ])
     out = SlamOutput(
         odom_out=oout,
         pose_map=pose_map,
@@ -681,6 +698,7 @@ def slam_step(
         map_size=map_backend.total_size(state.map),
         num_keyframes=state.keyframes.count,
         pose_cov=pose_cov,
+        packed=packed,
         debug=debug,
     )
     return state, out

@@ -35,6 +35,8 @@ def main() -> int:
                     help="limit (default: whole cache)")
     ap.add_argument("--root", type=str, default=None,
                     help="tree root (default: temp dir)")
+    ap.add_argument("--extra-args", type=str, default="",
+                    help="extra runner flags (space-separated)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -54,7 +56,8 @@ def main() -> int:
         [sys.executable, "-m", "icpslam_tpu.io.runner",
          "--kitti", root, "--seq", "99", "--end", str(n),
          "--max-keyframes", "1024",
-         "--deskew-rounds", "1", "--deskew-free-twist"],
+         "--deskew-rounds", "1", "--deskew-free-twist"]
+        + ([a for a in args.extra_args.split() if a]),
         cwd=REPO, capture_output=True, text=True, timeout=3600,
     )
     if proc.returncode != 0:

@@ -12,6 +12,7 @@ import numpy as np
 
 from icpslam_tpu.config import IcpConfig, tiny_config
 from icpslam_tpu.geometry import se3
+from icpslam_tpu.geometry.se3 import Pose
 from icpslam_tpu.io import synthetic
 from icpslam_tpu.mapping import backend as map_backend
 from icpslam_tpu.parallel import mesh as mesh_lib
@@ -67,7 +68,16 @@ def drive(cfg, scans, gt, mesh=None):
         # through a thread pool and need no such bound.
         if i % 8 == 7:
             jax.block_until_ready(st)
-    return st, se3.stack(poses)
+    # Consolidate the trajectory HOST-side: an eager se3.stack over the
+    # retained multi-device pose outputs is itself an 8-device program
+    # dispatched on top of whatever is still in flight, and aborted
+    # deterministically here once r5's extra per-step output raised the
+    # queue pressure (same rendezvous class as the bound above). One
+    # fetch per pose after a full sync is cheap on the local CPU mesh.
+    jax.block_until_ready(st)
+    t = np.stack([np.asarray(p.t) for p in poses])
+    q = np.stack([np.asarray(p.q) for p in poses])
+    return st, Pose(t=jnp.asarray(t), q=jnp.asarray(q))
 
 
 class TestShardedStreamingSlam:

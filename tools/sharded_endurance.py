@@ -110,7 +110,13 @@ def main() -> int:
                 jax.block_until_ready(st)
         jax.block_until_ready(st)
         wall = time.perf_counter() - t0
-        traj = se3.stack(poses)
+        # host-side trajectory consolidation: an eager stack over retained
+        # multi-device outputs can abort XLA:CPU's collective rendezvous
+        # under queue pressure (tests/test_sharded_slam.py::drive)
+        traj = se3.Pose(
+            t=jnp.asarray(np.stack([np.asarray(p.t) for p in poses])),
+            q=jnp.asarray(np.stack([np.asarray(p.q) for p in poses])),
+        )
         ate, _ = metrics.ate(traj, gt, align=True)
         return st, {
             "tag": tag,

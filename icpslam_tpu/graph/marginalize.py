@@ -98,6 +98,68 @@ def select_victim(
     return jnp.maximum(jnp.argmin(score).astype(jnp.int32), 1)
 
 
+def fuse_duplicate_edges(edges: pg.EdgeSet) -> pg.EdgeSet:
+    """One pass of parallel-edge fusion: edges sharing the same (i, j)
+    are combined information-weighted — ``Ω' = Ω₁+Ω₂`` and the measured
+    relative blended in the tangent, ``Z' = Z₁ ∘ exp((Ω')⁻¹ Ω₂ ξ)`` with
+    ``ξ = log(Z₁⁻¹ Z₂)`` — reclaiming the duplicate's slot.
+
+    Re-homing during marginalization piles parallel edges onto the
+    predecessor over long missions, which drains edge capacity (the r5
+    endurance capacity run counted 23 drops at the 2048 cap); one fusion
+    pass per eviction keeps the live set minimal. A run of k duplicates
+    fuses pairwise (one pair per pass) — successive evictions finish the
+    job. Output is compacted to a live prefix.
+    """
+    E = edges.capacity
+    dt = edges.rel_t.dtype
+    eye6 = jnp.eye(6, dtype=dt)
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(edges.valid, edges.i * (E + 2) + edges.j, big)
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+    i_s, j_s = edges.i[order], edges.j[order]
+    t_s, q_s = edges.rel_t[order], edges.rel_q[order]
+    info_s, valid_s = edges.info[order], edges.valid[order]
+
+    prev_same = jnp.concatenate([
+        jnp.asarray([False]), (key_s[1:] == key_s[:-1]) & (key_s[1:] != big)
+    ])
+    # fuse only the second of each pair; a third-in-run waits a pass
+    second = prev_same & ~jnp.concatenate([jnp.asarray([False]), prev_same[:-1]])
+    first = jnp.concatenate([second[1:], jnp.asarray([False])])
+
+    # pair data aligned at FIRST positions (partner = next row)
+    nxt = lambda a: jnp.roll(a, -1, axis=0)
+    rel1 = Pose(t=t_s, q=q_s)
+    rel2 = Pose(t=nxt(t_s), q=nxt(q_s))
+    info2 = nxt(info_s)
+    info_sum = info_s + info2
+    xi = se3.se3_log(se3.relative(rel1, rel2))  # (E, 6)
+    rhs = jnp.einsum("eab,eb->ea", info2, xi)
+    delta = jnp.linalg.solve(info_sum + 1e-6 * eye6[None], rhs[..., None])[..., 0]
+    fused = se3.compose(rel1, se3.se3_exp(delta))
+    fused = Pose(
+        t=jnp.where(first[:, None], fused.t, t_s),
+        q=jnp.where(first[:, None], se3.normalize(fused).q, q_s),
+    )
+    new_info = jnp.where(first[:, None, None], info_sum, info_s)
+    valid_out = valid_s & ~second
+
+    # compact to a live prefix
+    order2 = jnp.argsort((~valid_out).astype(jnp.int32), stable=True)
+    return pg.EdgeSet(
+        i=i_s[order2],
+        j=j_s[order2],
+        rel_t=fused.t[order2],
+        rel_q=fused.q[order2],
+        info=new_info[order2],
+        valid=valid_out[order2],
+        count=jnp.sum(valid_out.astype(jnp.int32)),
+        overflow=edges.overflow,
+    )
+
+
 def marginalize_keyframe(
     store: kf.KeyframeStore, edges: pg.EdgeSet, victim: jnp.ndarray
 ) -> Tuple[kf.KeyframeStore, pg.EdgeSet]:
@@ -184,19 +246,20 @@ def marginalize_keyframe(
     new_i = new_i - (new_i > v).astype(jnp.int32)
     new_j = new_j - (new_j > v).astype(jnp.int32)
 
-    # --- compact edges to a live prefix (bucketed/dist solvers rely on
-    # "first count edges are the whole live graph") ----------------------
-    order = jnp.argsort((~valid).astype(jnp.int32), stable=True)
-    new_edges = pg.EdgeSet(
-        i=new_i[order],
-        j=new_j[order],
-        rel_t=new_t[order],
-        rel_q=new_q[order],
-        info=new_info[order],
-        valid=valid[order],
+    # --- fuse the parallel edges re-homing creates, then compact to a
+    # live prefix (bucketed/dist solvers rely on "first count edges are
+    # the whole live graph"); fusion also reclaims capacity so long
+    # missions don't drain max_edges (counted, never silent) ------------
+    new_edges = fuse_duplicate_edges(pg.EdgeSet(
+        i=new_i,
+        j=new_j,
+        rel_t=new_t,
+        rel_q=new_q,
+        info=new_info,
+        valid=valid,
         count=jnp.sum(valid.astype(jnp.int32)),
         overflow=edges.overflow,
-    )
+    ))
 
     # --- compact the keyframe store (shift-down gather keeps index order
     # == temporal order) -------------------------------------------------

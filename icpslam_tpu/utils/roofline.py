@@ -65,7 +65,7 @@ def voxel_filter_model(raw: int) -> dict:
         flops=raw * passes * 4,  # compare/permute ops, not FMA flops
         bytes_=2.0 * raw * rec * passes,
         bound="sort-latency",
-        note=f"lexsort of {raw} records ({passes:.0f} passes)",
+        note=f"packed-key sort of {raw} records (~{passes:.0f} merge passes)",
     )
 
 

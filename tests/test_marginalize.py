@@ -320,3 +320,64 @@ class TestCheckpointCompat:
             loaded = checkpoint.load(path, slam.init_state(cfg))
         assert any("predates" in str(x.message) for x in w)
         assert int(loaded.keyframes.evictions) == 0
+
+
+class TestEdgeFusion:
+    def test_fuse_parallel_pair_info_weighted(self):
+        edges = pg.empty_edges(16)
+        rel_a = Pose(t=jnp.asarray([1.0, 0.0, 0.0]), q=se3.identity().q)
+        rel_b = Pose(t=jnp.asarray([1.2, 0.0, 0.0]), q=se3.identity().q)
+        edges = pg.add_edge(edges, 1, 2, rel_a, 300.0 * jnp.eye(6))
+        edges = pg.add_edge(edges, 0, 1, rel_a, 100.0 * jnp.eye(6))
+        edges = pg.add_edge(edges, 1, 2, rel_b, 100.0 * jnp.eye(6))
+        fused = marg.fuse_duplicate_edges(edges)
+        E = int(fused.count)
+        assert E == 2
+        i = np.asarray(fused.i)[:E].tolist()
+        j = np.asarray(fused.j)[:E].tolist()
+        pairs = list(zip(i, j))
+        assert set(pairs) == {(0, 1), (1, 2)}
+        k = pairs.index((1, 2))
+        # info summed; rel pulled 1/4 of the way toward the weaker edge
+        d = np.diag(np.asarray(fused.info)[k])
+        np.testing.assert_allclose(d, 400.0, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(fused.rel_t)[k], [1.05, 0.0, 0.0], atol=1e-5
+        )
+        # untouched edge intact
+        k2 = pairs.index((0, 1))
+        np.testing.assert_allclose(np.asarray(fused.rel_t)[k2], [1.0, 0, 0],
+                                   atol=1e-6)
+
+    def test_run_of_three_fuses_over_passes(self):
+        edges = pg.empty_edges(16)
+        rel = Pose(t=jnp.asarray([1.0, 0.0, 0.0]), q=se3.identity().q)
+        for _ in range(3):
+            edges = pg.add_edge(edges, 2, 5, rel, 100.0 * jnp.eye(6))
+        once = marg.fuse_duplicate_edges(edges)
+        assert int(once.count) == 2
+        twice = marg.fuse_duplicate_edges(once)
+        assert int(twice.count) == 1
+        np.testing.assert_allclose(
+            np.diag(np.asarray(twice.info)[0]), 300.0, rtol=1e-5
+        )
+
+    def test_marginalize_fuses_rehomed_duplicates(self):
+        """Evicting v re-homes a loop edge (x → v) onto (x → p); if an
+        (x → p) edge already exists the two fuse instead of hoarding a
+        slot."""
+        poses = _chain_poses(6)
+        store = _mk_store(poses, 8)
+        edges = _chain_edges(poses, 16)
+        # loop edges 0→3 AND 0→4 (4's re-homes onto 0→3 after eviction)
+        for tgt in (3, 4):
+            rel = se3.relative(se3.index(poses, 0), se3.index(poses, tgt))
+            edges = pg.add_edge(edges, 0, tgt, rel, 100.0 * jnp.eye(6))
+        n_before = int(edges.count)
+        store2, edges2 = marg.marginalize_keyframe(store, edges, 4)
+        E = int(edges2.count)
+        # hop edge dropped AND the re-homed duplicate fused: -2
+        assert E == n_before - 2
+        pairs = set(zip(np.asarray(edges2.i)[:E].tolist(),
+                        np.asarray(edges2.j)[:E].tolist()))
+        assert (0, 3) in pairs and len(pairs) == E

@@ -66,13 +66,24 @@ def main() -> int:
     )
     state = slam.init_state(cfg, initial_pose=se3.index(gt, 0))
     poses = []
-    for scan in synthetic.scan_stream(
+    for i, scan in enumerate(synthetic.scan_stream(
         world, gt, capacity=cfg.max_raw_points, max_range=12.0, n_points=1200,
-    ):
+    )):
         state, out = step(state, scan, cfg)
         poses.append(out.pose_map)
+        # bound the in-flight queue of multi-device programs (XLA:CPU
+        # collective-rendezvous mitigation, tests/test_sharded_slam.py)
+        if i % 8 == 7:
+            jax.block_until_ready(state.slam_pose.t)
 
-    ate, _ = metrics.ate(se3.stack(poses), gt, align=False)
+    # host-side trajectory consolidation (an eager stack over retained
+    # multi-device outputs can abort the CPU rendezvous under pressure)
+    jax.block_until_ready(state.slam_pose.t)
+    traj = se3.Pose(
+        t=jnp.asarray(np.stack([np.asarray(p.t) for p in poses])),
+        q=jnp.asarray(np.stack([np.asarray(p.q) for p in poses])),
+    )
+    ate, _ = metrics.ate(traj, gt, align=False)
     per_shard = np.asarray(state.map.size)
     print(json.dumps({
         "devices": n_dev,

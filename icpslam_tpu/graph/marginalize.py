@@ -111,11 +111,14 @@ def fuse_duplicate_edges(edges: pg.EdgeSet) -> pg.EdgeSet:
     fuses pairwise (one pair per pass) — successive evictions finish the
     job. Output is compacted to a live prefix.
     """
-    E = edges.capacity
     dt = edges.rel_t.dtype
     eye6 = jnp.eye(6, dtype=dt)
     big = jnp.iinfo(jnp.int32).max
-    key = jnp.where(edges.valid, edges.i * (E + 2) + edges.j, big)
+    # (i, j) -> unique int32 key: the multiplier must DOMINATE any node
+    # index (edge capacity does not bound node ids — max_keyframes can
+    # exceed max_edges). 2^15 covers any plausible keyframe capacity
+    # while i * 2^15 + j stays well inside int32.
+    key = jnp.where(edges.valid, edges.i * 32768 + edges.j, big)
     order = jnp.argsort(key, stable=True)
     key_s = key[order]
     i_s, j_s = edges.i[order], edges.j[order]

@@ -94,3 +94,63 @@ class TestRunnerDebugProducts:
             d = np.load(f)
             for key in ("filtered_points", "pose_map_t", "nn_points", "fitness"):
                 assert key in d, (f, key)
+
+
+class TestPackedRecordPath:
+    """The r5 streaming bookkeeping (SlamOutput.packed accumulated
+    on-device, one fetch per block) must report exactly what the
+    synchronous per-scan path reports — records AND trajectory."""
+
+    def test_async_packed_matches_sync_records(self):
+        import jax
+        import numpy as np
+
+        from icpslam_tpu.config import IcpConfig, tiny_config
+        from icpslam_tpu.geometry import se3
+        from icpslam_tpu.io import synthetic
+        from icpslam_tpu.io.runner import run_slam
+
+        cfg = tiny_config(
+            voxel_leaf_size=0.3,
+            map_resolution=0.3,
+            icp_odometry=IcpConfig(mode="point", max_iterations=8),
+            icp_mapping=IcpConfig(mode="point", max_iterations=8),
+            max_points=512,
+            max_raw_points=2048,
+            max_map_points=4096,
+            max_keyframes=16,
+            max_edges=64,
+        )
+        world = synthetic.make_room_world(seed=0, n_points=8000)
+        gt = synthetic.make_loop_trajectory(n_poses=9, radius=5.0, laps=0.4)
+
+        def scans():
+            return list(synthetic.scan_stream(
+                world, gt, capacity=2048, n_points=800, seed=0
+            ))
+
+        res_async = run_slam(scans(), cfg, initial_pose=se3.index(gt, 0))
+        res_sync = run_slam(
+            scans(), cfg.replace(verbosity=2), initial_pose=se3.index(gt, 0)
+        )
+        assert len(res_async.per_scan) == len(res_sync.per_scan) == 9
+        for ra, rs in zip(res_async.per_scan, res_sync.per_scan):
+            for k in ("accepted", "refined", "new_keyframe", "loop_closure",
+                      "optimized", "map_size", "num_keyframes",
+                      "correspondences", "icp_iterations"):
+                assert ra[k] == rs[k], (k, ra, rs)
+            # bootstrap scans legitimately report inf fitness in both modes
+            if np.isfinite(ra["fitness"]) or np.isfinite(rs["fitness"]):
+                assert abs(ra["fitness"] - rs["fitness"]) < 1e-5
+        np.testing.assert_allclose(
+            np.asarray(res_async.trajectory.t),
+            np.asarray(res_sync.trajectory.t), atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_async.trajectory.q),
+            np.asarray(res_sync.trajectory.q), atol=1e-6,
+        )
+        # wall accounting reconciles in both modes
+        for res in (res_async, res_sync):
+            ws = res.timing_summary().get("wall_vs_step")
+            assert ws is not None and ws["wall_s"] > 0

@@ -54,17 +54,20 @@ def main() -> int:
         for i, c in enumerate(filtered):
             rargs.append((st, c, se3.index(gt, i)))
             st = refine(*rargs[-1]).map
-        # warm + iterate over varied inputs
+        # warm + iterate over varied inputs. Iteration counts are
+        # fetched OUTSIDE the timed loop — an int() inside it forces a
+        # per-call sync (~30 ms tunnel roundtrip) that poisons the timing
         out = refine(*rargs[1])
         jax.block_until_ready(out.refined_pose.t)
-        iters = []
-        t0 = time.perf_counter()
         n = 8
+        outs = []
+        t0 = time.perf_counter()
         for k in range(n):
             out = refine(*rargs[1 + k % (len(rargs) - 1)])
-            iters.append(int(out.icp_iterations))
+            outs.append(out.icp_iterations)
         jax.block_until_ready(out.refined_pose.t)
         ms = (time.perf_counter() - t0) / n * 1000.0
+        iters = [int(x) for x in outs]
         print(json.dumps({
             "probe": tag, "ms": round(ms, 3),
             "iters": iters,
